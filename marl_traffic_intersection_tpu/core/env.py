@@ -1,0 +1,483 @@
+"""Pure-functional intersection environment: fixed-shape pytree state + jit step.
+
+TPU-native redesign of the reference step orchestrator
+(reference: cpp/IntersectionEnv.cpp:133-392). The mutable OO world
+(``std::vector<Car>``, erase/respawn, pointer identity) becomes an immutable
+``EnvState`` pytree and a pure ``step(state, actions) -> (state, StepOutput)``
+that is fully jit/vmap-able: batch thousands of intersections by ``vmap`` over
+a leading env axis and shard that axis over a device mesh (see envs/vector.py
+and parallel/).
+
+Per-tick pipeline, in exact reference order (IntersectionEnv.cpp:133-392):
+  1. NPC traffic update (spawn -> sequential controllers -> collisions ->
+     despawn)                                       [traffic mode]
+  2. ego physics + path index + progress/stuck/smooth base reward
+  3. per-ego status: SUCCESS -> out-of-screen -> off-road -> line crossing
+  4. ordered ego-ego / ego-NPC SAT collisions -> CRASH_CAR
+  5. terminal bonuses (k_cv / k_co / k_succ), team reward mixing
+  6. respawn (crashes only) or terminated-on-any-done
+  7. terminated-when-all-alive-succeeded, truncation at max_steps
+  8. lidar scan (sees post-respawn state), observations (N, 127)
+
+The snapshot API of the reference (EnvState.h, IntersectionEnv.cpp:394-416)
+falls out for free: ``EnvState`` is a value — hold it, step it, restore it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import (
+    DT_DEFAULT,
+    FPS,
+    HEIGHT,
+    LIDAR_MAX_DIST,
+    LIDAR_RAYS,
+    MAX_ACC,
+    MAX_STEERING_ANGLE,
+    NEIGHBOR_COUNT,
+    OBS_DIM,
+    PATH_LEN,
+    PHYSICS_MAX_SPEED,
+    SCALE,
+    STATUS_ALIVE,
+    STATUS_CRASH_CAR,
+    STATUS_CRASH_LINE,
+    STATUS_CRASH_WALL,
+    STATUS_DEAD,
+    STATUS_SUCCESS,
+    WIDTH,
+)
+from .geometry import hits_yellow_line, is_line_pixel, is_on_road
+from .lidar import lidar_scan
+from .npc import NpcState, init_npc_state, npc_traffic_update, spawn_decision
+from .physics import car_corners, car_physics_step, sat_overlap, update_path_index, wrap_angle
+from .routes import RouteTable, build_route_table, default_ego_routes
+
+_F = jnp.float32
+_PI32 = np.float32(3.14159265358979323846)
+
+
+class RewardParams(NamedTuple):
+    """Reward knobs (reference: cpp/Reward.h:5-14 defaults)."""
+
+    k_prog: jnp.ndarray = np.float32(10.0)
+    v_min_ms: jnp.ndarray = np.float32(1.0)
+    k_stuck: jnp.ndarray = np.float32(-0.01)
+    k_cv: jnp.ndarray = np.float32(-10.0)
+    k_co: jnp.ndarray = np.float32(-5.0)
+    k_succ: jnp.ndarray = np.float32(10.0)
+    k_sm: jnp.ndarray = np.float32(-0.02)
+    alpha: jnp.ndarray = np.float32(0.2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RewardParams":
+        """Accept the reference's Python reward-config keys (env.py:57-77)."""
+        m = {
+            "progress_scale": "k_prog",
+            "stuck_speed_threshold": "v_min_ms",
+            "stuck_penalty": "k_stuck",
+            "crash_vehicle_penalty": "k_cv",
+            "crash_object_penalty": "k_co",
+            "success_reward": "k_succ",
+            "action_smoothness_scale": "k_sm",
+            "team_alpha": "alpha",
+        }
+        kw = {m[k]: np.float32(v) for k, v in d.items() if k in m}
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """Static environment configuration (hashable -> jit constants).
+
+    Mirrors the reference config dict (env.py:85-131) plus MAX_NPCS, the
+    fixed-slot capacity replacing the unbounded NPC vector.
+    """
+
+    num_agents: int = 1
+    num_lanes: int = 3
+    traffic_flow: bool = False
+    traffic_density: float = 0.5
+    use_team_reward: bool = False
+    respawn_enabled: bool = True
+    max_steps: int = 2000
+    max_npcs: int = 32
+
+    def __post_init__(self):
+        if self.traffic_flow:
+            object.__setattr__(self, "num_agents", 1 if self.num_agents != 1 else 1)
+            object.__setattr__(self, "use_team_reward", False)
+
+
+class EgoState(NamedTuple):
+    """Per-ego-agent arrays, leading dim N = num_agents."""
+
+    route_id: jnp.ndarray        # (N,) i32
+    x: jnp.ndarray               # (N,) f32
+    y: jnp.ndarray               # (N,) f32
+    v: jnp.ndarray               # (N,) f32
+    heading: jnp.ndarray         # (N,) f32
+    steering_angle: jnp.ndarray  # (N,) f32
+    path_index: jnp.ndarray      # (N,) i32
+    prev_dist_to_goal: jnp.ndarray  # (N,) f32
+    prev_acc_norm: jnp.ndarray   # (N,) f32
+    prev_steer_norm: jnp.ndarray # (N,) f32
+    alive: jnp.ndarray           # (N,) bool
+
+
+class EnvState(NamedTuple):
+    """Complete env snapshot — a value; copy/rollback is free (cf. EnvState.h)."""
+
+    ego: EgoState
+    npc: NpcState
+    lidar: jnp.ndarray           # (N, LIDAR_RAYS) f32 distances
+    step_count: jnp.ndarray      # () i32
+    key: jnp.ndarray             # PRNG key
+
+
+class StepOutput(NamedTuple):
+    obs: jnp.ndarray             # (N, OBS_DIM) f32
+    reward: jnp.ndarray          # (N,) f32
+    done: jnp.ndarray            # (N,) bool
+    status: jnp.ndarray          # (N,) i32 (STATUS_*)
+    terminated: jnp.ndarray      # () bool
+    truncated: jnp.ndarray       # () bool
+    agents_alive: jnp.ndarray    # () i32
+    step: jnp.ndarray            # () i32
+    spawned: jnp.ndarray         # () bool — NPC spawn happened this tick
+
+
+class IntersectionEnv:
+    """Functional environment core. All methods are pure; jit-wrap at will."""
+
+    def __init__(self, config: EnvConfig = EnvConfig(),
+                 reward: Optional[RewardParams] = None,
+                 table: Optional[RouteTable] = None):
+        self.config = config
+        self.reward = reward if reward is not None else RewardParams()
+        self.table = table if table is not None else build_route_table(config.num_lanes)
+        # Host numpy constants; closed over by jit as embedded constants.
+        t = self.table
+        self._paths = t.paths
+        self._spawn_xy = t.spawn_xy
+        self._spawn_heading = t.spawn_heading
+        self._intent = t.intent
+        self._goal_xy = t.goal_xy
+        self._goal_prev_xy = t.goal_prev_xy
+        self._traffic_ids = t.traffic_route_ids
+
+    # ------------------------------------------------------------------ reset
+    def default_route_ids(self) -> np.ndarray:
+        routes = default_ego_routes(self.config.num_agents, self.config.num_lanes)
+        return self.table.route_ids(routes)
+
+    def reset(self, key, route_ids=None) -> Tuple[EnvState, jnp.ndarray]:
+        """Fresh state with egos spawned on their routes
+        (reference: env.py:147-161, cpp/IntersectionEnv.cpp:66-131)."""
+        cfg = self.config
+        if route_ids is None:
+            route_ids = self.default_route_ids()
+        rid = jnp.asarray(route_ids, jnp.int32)
+        n = cfg.num_agents
+        ego = EgoState(
+            route_id=rid,
+            x=jnp.asarray(self._spawn_xy[:, 0])[rid],
+            y=jnp.asarray(self._spawn_xy[:, 1])[rid],
+            v=jnp.zeros((n,), _F),
+            heading=jnp.asarray(self._spawn_heading)[rid],
+            steering_angle=jnp.zeros((n,), _F),
+            path_index=jnp.zeros((n,), jnp.int32),
+            prev_dist_to_goal=jnp.zeros((n,), _F),
+            prev_acc_norm=jnp.zeros((n,), _F),
+            prev_steer_norm=jnp.zeros((n,), _F),
+            alive=jnp.ones((n,), bool),
+        )
+        state = EnvState(
+            ego=ego,
+            npc=init_npc_state(cfg.max_npcs),
+            # First obs sees all-max lidar from init (IntersectionEnv.cpp:117)
+            lidar=jnp.full((n, LIDAR_RAYS), _F(LIDAR_MAX_DIST)),
+            step_count=jnp.int32(0),
+            key=key,
+        )
+        return state, self.observe(state)
+
+    # ------------------------------------------------------------------- step
+    def step(self, state: EnvState, actions, dt=DT_DEFAULT,
+             spawn: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+             ) -> Tuple[EnvState, StepOutput]:
+        cfg = self.config
+        rw = self.reward
+        n = cfg.num_agents
+        ego = state.ego
+        npc = state.npc
+        key = state.key
+        step_count = state.step_count + 1
+        dt = jnp.asarray(dt, _F)
+
+        paths = jnp.asarray(self._paths)
+        goal_xy = jnp.asarray(self._goal_xy)
+
+        # --- 1) NPC traffic flow (IntersectionEnv.cpp:140-142)
+        spawned = jnp.asarray(False)
+        if cfg.traffic_flow:
+            if spawn is None:
+                key, sub = jax.random.split(key)
+                do_try, route_choice = spawn_decision(
+                    sub, int(self._traffic_ids.shape[0]), cfg.traffic_density, dt)
+            else:
+                do_try, route_choice = spawn
+            npc, spawned = npc_traffic_update(
+                npc, paths, goal_xy,
+                jnp.asarray(self._spawn_xy), jnp.asarray(self._spawn_heading),
+                jnp.asarray(self._traffic_ids),
+                ego.x, ego.y, ego.alive | True,  # all egos block spawns
+                do_try, route_choice, dt,
+            )
+
+        # --- 2) ego physics + base rewards (IntersectionEnv.cpp:151-163)
+        actions = jnp.asarray(actions, _F).reshape(n, 2)
+        alive = ego.alive
+        ph = car_physics_step(ego.x, ego.y, ego.v, ego.heading, ego.steering_angle,
+                              actions[:, 0], actions[:, 1], dt)
+        x = jnp.where(alive, ph.x, ego.x)
+        y = jnp.where(alive, ph.y, ego.y)
+        v = jnp.where(alive, ph.v, ego.v)
+        heading = jnp.where(alive, ph.heading, ego.heading)
+        steering = jnp.where(alive, ph.steering_angle, ego.steering_angle)
+        acc = ph.acc  # recomputed every tick; only used by the smooth term
+
+        ego_paths = paths[ego.route_id]                   # (N, P, 2)
+        pi = update_path_index(ego_paths, PATH_LEN, ego.path_index, x, y)
+        pi = jnp.where(alive, pi, ego.path_index)
+
+        goal = goal_xy[ego.route_id]                      # (N, 2)
+        cur_dist = jnp.hypot(x - goal[:, 0], y - goal[:, 1])
+        max_prog = np.float32(np.hypot(np.float32(WIDTH), np.float32(HEIGHT)))
+        r_prog = jnp.where(ego.prev_dist_to_goal > _F(0.0),
+                           rw.k_prog * ((ego.prev_dist_to_goal - cur_dist) / max_prog),
+                           _F(0.0))
+        speed_ms = (v * _F(FPS)) / _F(SCALE)
+        r_stuck = jnp.where(speed_ms < rw.v_min_ms, rw.k_stuck, _F(0.0))
+        acc_norm = acc / _F(MAX_ACC)
+        steer_norm = steering / _F(MAX_STEERING_ANGLE)
+        d0 = acc_norm - ego.prev_acc_norm
+        d1 = steer_norm - ego.prev_steer_norm
+        r_smooth = rw.k_sm * (d0 * d0 + d1 * d1)
+        rewards = jnp.where(alive, r_prog + r_stuck + r_smooth, _F(0.0))
+
+        prev_dist = jnp.where(alive, cur_dist, ego.prev_dist_to_goal)
+        prev_acc_norm = jnp.where(alive, acc_norm, ego.prev_acc_norm)
+        prev_steer_norm = jnp.where(alive, steer_norm, ego.prev_steer_norm)
+
+        # --- 3) per-ego status (IntersectionEnv.cpp:166-290)
+        goal_prev = jnp.asarray(self._goal_prev_xy)[ego.route_id]
+        dxr = goal[:, 0] - goal_prev[:, 0]
+        dyr = goal[:, 1] - goal_prev[:, 1]
+        horiz = jnp.abs(dxr) > jnp.abs(dyr)
+        lat_err = jnp.where(horiz, jnp.abs(y - goal[:, 1]), jnp.abs(x - goal[:, 0]))
+        lon_err = jnp.where(horiz, jnp.abs(x - goal[:, 0]), jnp.abs(y - goal[:, 1]))
+        succ = (lat_err < _F(15.0)) & (lon_err < _F(40.0))
+
+        cn = car_corners(x, y, heading)                   # (N, 4, 2)
+        cx_, cy_ = cn[..., 0], cn[..., 1]
+        margin = _F(100.0)
+        oos = jnp.any((cx_ < -margin) | (cx_ > _F(WIDTH) + margin)
+                      | (cy_ < -margin) | (cy_ > _F(HEIGHT) + margin), axis=-1)
+        offroad = jnp.any(~is_on_road(cx_, cy_, cfg.num_lanes), axis=-1)
+
+        line_a = jnp.any(hits_yellow_line(cx_, cy_, cfg.num_lanes), axis=-1)
+        mx = _F(0.5) * (cx_ + jnp.roll(cx_, -1, axis=-1))
+        my = _F(0.5) * (cy_ + jnp.roll(cy_, -1, axis=-1))
+        line_m = jnp.any(is_line_pixel(mx.astype(jnp.int32), my.astype(jnp.int32),
+                                       cfg.num_lanes), axis=-1)
+        line_c = jnp.any(is_line_pixel(cx_.astype(jnp.int32), cy_.astype(jnp.int32),
+                                       cfg.num_lanes), axis=-1)
+        hit_line = line_a | line_m | line_c
+
+        status_new = jnp.where(
+            succ, STATUS_SUCCESS,
+            jnp.where(oos | offroad, STATUS_CRASH_WALL,
+                      jnp.where(hit_line, STATUS_CRASH_LINE, STATUS_ALIVE)))
+        done_new = succ | oos | offroad | hit_line
+        status = jnp.where(alive, status_new, STATUS_DEAD).astype(jnp.int32)
+        done = jnp.where(alive, done_new, True)
+
+        # --- 4) ordered car-car collisions (IntersectionEnv.cpp:293-318)
+        collide_ee = sat_overlap(cn[:, None], heading[:, None], cn[None, :], heading[None, :])
+        if cfg.traffic_flow:
+            npc_cn = car_corners(npc.x, npc.y, npc.heading)
+            collide_en = sat_overlap(cn[:, None], heading[:, None],
+                                     npc_cn[None, :], npc.heading[None, :])
+            npc_hit_any = jnp.any(collide_en & npc.alive[None, :], axis=-1)
+        else:
+            npc_hit_any = jnp.zeros((n,), bool)
+
+        jidx = jnp.arange(n)
+
+        def _row(i, carry):
+            done_c, status_c = carry
+            row_ok = alive[i] & ~done_c[i]
+            jm = row_ok & (jidx > i) & alive & ~done_c & collide_ee[i]
+            done_c = done_c | jm
+            status_c = jnp.where(jm, STATUS_CRASH_CAR, status_c)
+            hit_i = row_ok & (jnp.any(jm) | npc_hit_any[i])
+            done_c = done_c.at[i].set(done_c[i] | hit_i)
+            status_c = status_c.at[i].set(
+                jnp.where(hit_i, STATUS_CRASH_CAR, status_c[i]))
+            return done_c, status_c
+
+        done, status = jax.lax.fori_loop(0, n, _row, (done, status))
+
+        # --- 5) terminal bonuses + team mixing (IntersectionEnv.cpp:321-336)
+        is_crash_car = status == STATUS_CRASH_CAR
+        is_crash_obj = (status == STATUS_CRASH_WALL) | (status == STATUS_CRASH_LINE)
+        is_success = status == STATUS_SUCCESS
+        rewards = rewards + jnp.where(done & is_crash_car, rw.k_cv, _F(0.0))
+        rewards = rewards + jnp.where(done & is_crash_obj, rw.k_co, _F(0.0))
+        rewards = rewards + jnp.where(done & is_success, rw.k_succ, _F(0.0))
+        if cfg.use_team_reward and n > 0:
+            avg = jnp.sum(rewards) / _F(n)  # mean over all n incl. dead (cpp:330-333)
+            rewards = (_F(1.0) - rw.alpha) * rewards + rw.alpha * avg
+
+        # --- 6) respawn / terminated-on-done (IntersectionEnv.cpp:339-351)
+        terminated = jnp.asarray(False)
+        if cfg.respawn_enabled:
+            crash = alive & done & (is_crash_car | is_crash_obj)
+            sp_xy = jnp.asarray(self._spawn_xy)[ego.route_id]
+            sp_h = jnp.asarray(self._spawn_heading)[ego.route_id]
+            x = jnp.where(crash, sp_xy[:, 0], x)
+            y = jnp.where(crash, sp_xy[:, 1], y)
+            v = jnp.where(crash, _F(0.0), v)
+            heading = jnp.where(crash, sp_h, heading)
+            steering = jnp.where(crash, _F(0.0), steering)
+            pi = jnp.where(crash, 0, pi)
+            prev_dist = jnp.where(crash, _F(0.0), prev_dist)
+            prev_acc_norm = jnp.where(crash, _F(0.0), prev_acc_norm)
+            prev_steer_norm = jnp.where(crash, _F(0.0), prev_steer_norm)
+        else:
+            terminated = jnp.any(done)
+
+        # --- 7) success-termination + truncation (IntersectionEnv.cpp:353-370)
+        agents_alive = jnp.sum(alive).astype(jnp.int32)
+        if cfg.respawn_enabled:
+            succ_cnt = jnp.sum(alive & done & is_success)
+            terminated = (succ_cnt > 0) & (succ_cnt == agents_alive)
+
+        truncated = jnp.asarray(cfg.max_steps > 0) & (step_count >= cfg.max_steps)
+
+        new_ego = EgoState(
+            route_id=ego.route_id, x=x, y=y, v=v, heading=heading,
+            steering_angle=steering, path_index=pi,
+            prev_dist_to_goal=prev_dist, prev_acc_norm=prev_acc_norm,
+            prev_steer_norm=prev_steer_norm, alive=alive,
+        )
+
+        # --- 8) lidar on post-respawn state (IntersectionEnv.cpp:372-388)
+        if cfg.traffic_flow:
+            ox = jnp.concatenate([x, npc.x])
+            oy = jnp.concatenate([y, npc.y])
+            oh = jnp.concatenate([heading, npc.heading])
+            om = jnp.concatenate([jnp.ones((n,), bool), npc.alive])
+        else:
+            ox, oy, oh, om = x, y, heading, jnp.ones((n,), bool)
+        scan = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om,
+                                                   cfg.num_lanes))(x, y, heading)
+        lidar = jnp.where(alive[:, None], scan, state.lidar)
+
+        new_state = EnvState(ego=new_ego, npc=npc, lidar=lidar,
+                             step_count=step_count, key=key)
+        obs = self.observe(new_state)
+        out = StepOutput(
+            obs=obs, reward=rewards, done=done, status=status,
+            terminated=terminated, truncated=truncated,
+            agents_alive=agents_alive, step=step_count, spawned=spawned,
+        )
+        return new_state, out
+
+    # ------------------------------------------------------------ observation
+    def observe(self, state: EnvState) -> jnp.ndarray:
+        """Build the (N, 127) observation (reference: IntersectionEnv.cpp:418-520).
+
+        Layout: [0:4] ego x/W, y/H, v/vmax, heading/pi; [4:6] lookahead target
+        distance/W and heading error/pi (lookahead=10); [6:31] five nearest
+        neighbors x {dx/W, dy/H, dv/vmax, dtheta/pi, intention}; [31:127] 96
+        normalized lidar ranges. Dead agents -> all-zero rows.
+        """
+        cfg = self.config
+        n = cfg.num_agents
+        ego = state.ego
+        paths = jnp.asarray(self._paths)
+        intent_t = jnp.asarray(self._intent)
+
+        x, y, v, heading = ego.x, ego.y, ego.v, ego.heading
+
+        o_base = jnp.stack([
+            x / _F(WIDTH), y / _F(HEIGHT), v / _F(PHYSICS_MAX_SPEED), heading / _PI32,
+        ], axis=-1)
+
+        tgt_idx = jnp.minimum(ego.path_index + 10, PATH_LEN - 1)
+        ego_paths = paths[ego.route_id]
+        tx = jnp.take_along_axis(ego_paths[..., 0], tgt_idx[:, None], axis=-1)[:, 0]
+        ty = jnp.take_along_axis(ego_paths[..., 1], tgt_idx[:, None], axis=-1)[:, 0]
+        dxd = tx - x
+        dyd = ty - y
+        d_dst = jnp.sqrt(dxd * dxd + dyd * dyd) / _F(WIDTH)
+        theta_err = wrap_angle(jnp.arctan2(-dyd, dxd) - heading) / _PI32
+        o_target = jnp.stack([d_dst, theta_err], axis=-1)
+
+        # Neighbor pool: other egos (+ NPCs in traffic mode)
+        if cfg.traffic_flow:
+            npc = state.npc
+            kx = jnp.concatenate([x, npc.x])
+            ky = jnp.concatenate([y, npc.y])
+            kv = jnp.concatenate([v, npc.v])
+            kh = jnp.concatenate([heading, npc.heading])
+            ki = jnp.concatenate([intent_t[ego.route_id], intent_t[npc.route_id]])
+            kmask = jnp.concatenate([ego.alive, npc.alive])
+        else:
+            kx, ky, kv, kh = x, y, v, heading
+            ki = intent_t[ego.route_id]
+            kmask = ego.alive
+        if kx.shape[0] < NEIGHBOR_COUNT:  # pad pool so top-5 selection is static
+            padn = NEIGHBOR_COUNT - kx.shape[0]
+            zpad = jnp.zeros((padn,), _F)
+            kx = jnp.concatenate([kx, zpad])
+            ky = jnp.concatenate([ky, zpad])
+            kv = jnp.concatenate([kv, zpad])
+            kh = jnp.concatenate([kh, zpad])
+            ki = jnp.concatenate([ki, jnp.zeros((padn,), ki.dtype)])
+            kmask = jnp.concatenate([kmask, jnp.zeros((padn,), bool)])
+        k_tot = kx.shape[0]
+
+        dx = kx[None, :] - x[:, None]                       # (N, K)
+        dy = ky[None, :] - y[:, None]
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        not_self = jnp.arange(k_tot)[None, :] != jnp.arange(n)[:, None]
+        nmask = kmask[None, :] & not_self
+        order = jnp.argsort(jnp.where(nmask, dist, jnp.inf), axis=-1)  # (N, K)
+        sel = order[:, :NEIGHBOR_COUNT]                     # (N, 5)
+        navail = jnp.sum(nmask, axis=-1)                    # (N,)
+        kvalid = jnp.arange(NEIGHBOR_COUNT)[None, :] < navail[:, None]
+
+        def g(a):
+            return jnp.take_along_axis(jnp.broadcast_to(a[None, :], (n, k_tot)), sel, axis=-1)
+
+        ndx = (g(kx) - x[:, None]) / _F(WIDTH)
+        ndy = (g(ky) - y[:, None]) / _F(HEIGHT)
+        ndv = (g(kv) - v[:, None]) / _F(PHYSICS_MAX_SPEED)
+        ndth = wrap_angle(g(kh) - heading[:, None]) / _PI32
+        nint = g(ki).astype(_F)
+        nfeat = jnp.stack([ndx, ndy, ndv, ndth, nint], axis=-1)  # (N, 5, 5)
+        nfeat = jnp.where(kvalid[..., None], nfeat, _F(0.0)).reshape(n, 5 * NEIGHBOR_COUNT)
+
+        o_lidar = state.lidar / _F(LIDAR_MAX_DIST)
+
+        obs = jnp.concatenate([o_base, o_target, nfeat, o_lidar], axis=-1)
+        assert obs.shape == (n, OBS_DIM)
+        return jnp.where(ego.alive[:, None], obs, _F(0.0))

@@ -1,0 +1,117 @@
+"""Beam lidar ray-march, vectorized for TPU.
+
+The reference marches each of 96 rays in 4-px steps from the car center,
+breaking at the first event (reference: cpp/Lidar.cpp:22-90):
+
+  1. sample out of screen            -> break, NO hit (ray shoots into void)
+  2. dist > 0 and off-road           -> hit
+  3. dist > 0 and inside another car's axis-aligned bounding box (of its
+     rotated rect)                   -> hit
+
+TPU-native formulation: evaluate the full (rays, samples) grid — plus an
+(obstacles,) axis for the car tests — as masked boolean tensors, then resolve
+the sequential ``break`` with an argmax-of-first-event reduction. Bit-match
+details reproduced:
+
+  - sample coords are ``int()``-truncated before *both* the bounds test and
+    the road test (Lidar.cpp:34-35, the road test receives ``float(check_x)``)
+  - the ``dist > 0`` skip for road/car tests (Lidar.cpp:44, 53)
+  - obstacles whose pose is within 1e-3 of the scanning car's own pose are
+    skipped — the reference's self/duplicate exclusion (Lidar.cpp:55-63);
+    note dead cars are NOT excluded (no ``alive`` check in the reference)
+  - ray angles: 96 rays spanning [-180 deg, +180 deg] inclusive
+    (fov/(rays-1) spacing, Lidar.cpp:5-14 with the 96-ray override of
+    IntersectionEnv.cpp:113-127)
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .constants import (
+    CAR_LENGTH,
+    CAR_WIDTH,
+    HEIGHT,
+    LIDAR_FOV_DEG,
+    LIDAR_MAX_DIST,
+    LIDAR_RAYS,
+    LIDAR_SAMPLES,
+    LIDAR_STEP,
+    WIDTH,
+)
+from .geometry import is_on_road
+
+
+def ray_rel_angles(rays: int = LIDAR_RAYS, fov_deg: float = LIDAR_FOV_DEG) -> np.ndarray:
+    """Relative ray angles in radians (reference: cpp/Lidar.cpp:5-14)."""
+    start = -fov_deg * 0.5
+    step = fov_deg / float(rays - 1) if rays > 1 else 0.0
+    deg = start + np.arange(rays, dtype=np.float64) * step
+    return (deg * np.pi / 180.0).astype(np.float32)
+
+
+_REL_ANGLES = ray_rel_angles()
+_DISTS = (np.arange(LIDAR_SAMPLES, dtype=np.float32) * np.float32(LIDAR_STEP))  # 0, 4, ..., 248
+
+
+def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask,
+               num_lanes: int = 3):
+    """Scan one car against a masked obstacle set.
+
+    self_*: scalars (vmap over agents/envs outside); obs_*: (M,) obstacle car
+    poses with obs_mask (M,) bool for present slots. Returns (LIDAR_RAYS,)
+    float32 distances (LIDAR_MAX_DIST where no hit).
+    """
+    f32 = jnp.float32
+    rel = jnp.asarray(_REL_ANGLES)
+    dists = jnp.asarray(_DISTS)
+
+    ray_angle = self_heading + rel                       # (R,)
+    dx = jnp.cos(ray_angle)
+    dy = -jnp.sin(ray_angle)                             # y-down screen coords (Lidar.cpp:27)
+
+    # Sample positions, truncated to ints exactly like the C++ int() casts
+    sx = self_x + dx[:, None] * dists[None, :]           # (R, S)
+    sy = self_y + dy[:, None] * dists[None, :]
+    xi = sx.astype(jnp.int32)
+    yi = sy.astype(jnp.int32)
+
+    oob = (xi < 0) | (xi >= WIDTH) | (yi < 0) | (yi >= HEIGHT)
+
+    xf = xi.astype(f32)
+    yf = yi.astype(f32)
+    pos_dist = dists > f32(0.0)                          # (S,)
+
+    road_hit = pos_dist[None, :] & ~is_on_road(xf, yf, num_lanes)
+
+    # Obstacle AABB tests. Self/duplicate exclusion by eps pose compare.
+    eps = f32(1e-3)
+    not_self = ~(
+        (jnp.abs(obs_x - self_x) < eps)
+        & (jnp.abs(obs_y - self_y) < eps)
+        & (jnp.abs(obs_heading - self_heading) < eps)
+    )
+    active = obs_mask & not_self                          # (M,)
+
+    cosA = jnp.cos(obs_heading)
+    sinA = jnp.sin(obs_heading)
+    hl = f32(CAR_LENGTH * 0.5)
+    hw = f32(CAR_WIDTH * 0.5)
+    ex = jnp.abs(cosA) * hl + jnp.abs(sinA) * hw          # (M,)
+    ey = jnp.abs(sinA) * hl + jnp.abs(cosA) * hw
+
+    in_box = (
+        (xf[:, :, None] >= obs_x - ex)
+        & (xf[:, :, None] <= obs_x + ex)
+        & (yf[:, :, None] >= obs_y - ey)
+        & (yf[:, :, None] <= obs_y + ey)
+    )                                                     # (R, S, M)
+    car_hit = pos_dist[None, :] & jnp.any(in_box & active, axis=-1)
+
+    event = oob | road_hit | car_hit                      # (R, S)
+    any_event = jnp.any(event, axis=-1)                   # (R,)
+    first = jnp.argmax(event, axis=-1)                    # (R,) first-event sample index
+    first_is_oob = jnp.take_along_axis(oob, first[:, None], axis=-1)[:, 0]
+
+    hit = any_event & ~first_is_oob
+    return jnp.where(hit, first.astype(f32) * f32(LIDAR_STEP), f32(LIDAR_MAX_DIST))

@@ -1,0 +1,150 @@
+"""Kinematic bicycle physics, OBB corners, SAT collision, path following.
+
+Pure float32 jnp functions designed for vmap over agents and envs. The
+reference semantics (cpp/Car.cpp:9-141) carry several bit-match-critical
+quirks which are reproduced deliberately:
+
+  1. ``acc = throttle * MAX_ACC``; steering is first-order-lagged toward the
+     target with fixed gain 0.2 *per call*, not per second (Car.cpp:12-15).
+  2. Exact-zero throttle triggers a 0.95 speed decay — a float equality test
+     (Car.cpp:17-19).
+  3. Only the speed update uses ``dt``; heading and position integrate per
+     call without dt (Car.cpp:22, 27-30, 38-39) — callers substep to get
+     real-time behavior (reference test.py:144-156).
+  4. Speed clamped to [0, 8 px/frame]; heading wrapped to [-pi, pi); turning
+     only when |v| > 0.1 (Car.cpp:23-35).
+  5. Screen y is down but headings are y-up: ``y -= v * sin(heading)``
+     (Car.cpp:39).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import (
+    CAR_LENGTH,
+    CAR_WIDTH,
+    MAX_ACC,
+    MAX_STEERING_ANGLE,
+    PHYSICS_MAX_SPEED,
+    WHEELBASE,
+)
+
+_PI = np.float32(np.pi)
+_TWO_PI = np.float32(2.0) * _PI
+
+
+def wrap_angle(a):
+    """Wrap to [-pi, pi) with C ``fmod`` truncation semantics (Car.cpp:33-35)."""
+    a = jnp.fmod(a + _PI, _TWO_PI)
+    a = jnp.where(a < 0.0, a + _TWO_PI, a)
+    return a - _PI
+
+
+class CarPhysicsOut(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    v: jnp.ndarray
+    heading: jnp.ndarray
+    steering_angle: jnp.ndarray
+    acc: jnp.ndarray
+
+
+def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt) -> CarPhysicsOut:
+    """One physics tick, matching Car::update exactly (cpp/Car.cpp:9-40).
+
+    All inputs are float32 arrays of a common broadcast shape (typically (N,)).
+    """
+    f32 = jnp.float32
+    throttle = jnp.asarray(throttle, f32)
+    steer = jnp.asarray(steer, f32)
+    dt = jnp.asarray(dt, f32)
+
+    acc = throttle * f32(MAX_ACC)
+    target_steering = steer * f32(MAX_STEERING_ANGLE)
+    steering_angle = steering_angle + (target_steering - steering_angle) * f32(0.2)
+
+    # Exact float equality on throttle == 0 (Car.cpp:17-19)
+    v = jnp.where(throttle == f32(0.0), v * f32(0.95), v)
+
+    v = v + acc * dt
+    v = jnp.clip(v, f32(0.0), f32(PHYSICS_MAX_SPEED))
+
+    ang_vel = (v / f32(WHEELBASE)) * jnp.tan(steering_angle)
+    heading = jnp.where(jnp.abs(v) > f32(0.1), heading + ang_vel, heading)
+    heading = wrap_angle(heading)
+
+    x = x + v * jnp.cos(heading)
+    y = y - v * jnp.sin(heading)
+    return CarPhysicsOut(x, y, v, heading, steering_angle, acc)
+
+
+def car_corners(x, y, heading, length=CAR_LENGTH, width=CAR_WIDTH):
+    """OBB corner positions, shape (..., 4, 2) in reference order (Car.cpp:86-103)."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    heading = jnp.asarray(heading, jnp.float32)
+    hx = np.float32(width * 0.5)   # half width  (local 'ly' magnitude)
+    hy = np.float32(length * 0.5)  # half length (local 'lx' magnitude)
+    # Local (lx, ly) per corner: (hy,hx), (hy,-hx), (-hy,-hx), (-hy,hx)
+    lx = jnp.asarray([hy, hy, -hy, -hy], jnp.float32)
+    ly = jnp.asarray([hx, -hx, -hx, hx], jnp.float32)
+    c = jnp.cos(heading)[..., None]
+    s = jnp.sin(heading)[..., None]
+    wx = x[..., None] + lx * c - ly * s
+    wy = y[..., None] + lx * s + ly * c
+    return jnp.stack([wx, wy], axis=-1)
+
+
+def sat_overlap(corners_a, heading_a, corners_b, heading_b):
+    """Separating-axis OBB collision test (reference: cpp/Car.cpp:105-141).
+
+    corners_*: (..., 4, 2); heading_*: (...,). Returns bool (...,). The four
+    separating axes are the two cars' body axes, exactly as the reference.
+    """
+    heading_a, heading_b = jnp.broadcast_arrays(
+        jnp.asarray(heading_a, jnp.float32), jnp.asarray(heading_b, jnp.float32))
+    ca, sa = jnp.cos(heading_a), jnp.sin(heading_a)
+    cb, sb = jnp.cos(heading_b), jnp.sin(heading_b)
+    axes = jnp.stack(
+        [
+            jnp.stack([ca, sa], axis=-1),
+            jnp.stack([-sa, ca], axis=-1),
+            jnp.stack([cb, sb], axis=-1),
+            jnp.stack([-sb, cb], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 4, 2)
+
+    # Project both corner sets on each axis: (..., axes=4, corners=4)
+    pa = jnp.einsum("...kc,...ac->...ak", corners_a, axes)
+    pb = jnp.einsum("...kc,...ac->...ak", corners_b, axes)
+    min_a, max_a = pa.min(axis=-1), pa.max(axis=-1)
+    min_b, max_b = pb.min(axis=-1), pb.max(axis=-1)
+    separated = (max_a < min_b) | (max_b < min_a)  # (..., 4)
+    return ~jnp.any(separated, axis=-1)
+
+
+def update_path_index(path, path_len, path_index, x, y, search_range: int = 50):
+    """Windowed nearest-point path-index update (reference: cpp/Car.cpp:47-74).
+
+    path: (..., P, 2) gathered per-car path polyline; path_len: scalar or (...,)
+    number of valid points; path_index: (...,) int32 current index; x, y: (...,)
+    position. Searches only ``search_range`` points forward of the current
+    index, first-minimum tie-break (argmin matches the reference's strict ``<``).
+    """
+    path_index = jnp.maximum(path_index, 0)
+    offs = jnp.arange(search_range, dtype=jnp.int32)
+    idx = path_index[..., None] + offs  # (..., S)
+    valid = idx < jnp.asarray(path_len, jnp.int32)[..., None]
+    idx_c = jnp.minimum(idx, jnp.asarray(path_len, jnp.int32)[..., None] - 1)
+    px = jnp.take_along_axis(path[..., 0], idx_c, axis=-1)
+    py = jnp.take_along_axis(path[..., 1], idx_c, axis=-1)
+    dx = px - x[..., None]
+    dy = py - y[..., None]
+    d = dx * dx + dy * dy
+    d = jnp.where(valid, d, jnp.inf)
+    best = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    return path_index + best
