@@ -1,0 +1,114 @@
+"""NPC traffic-flow lockstep differential tests (spawn decisions injected)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+from marl_traffic_intersection_tpu.core.constants import STATUS_NAMES
+
+
+def _npc_sorted(state):
+    """My alive NPC slots in vector (uid) order -> (m, 6) x,y,v,heading,pi,route."""
+    alive = np.asarray(state.npc.alive)
+    uid = np.asarray(state.npc.uid)
+    idx = np.nonzero(alive)[0]
+    idx = idx[np.argsort(uid[idx])]
+    return np.stack([
+        np.asarray(state.npc.x)[idx],
+        np.asarray(state.npc.y)[idx],
+        np.asarray(state.npc.v)[idx],
+        np.asarray(state.npc.heading)[idx],
+        np.asarray(state.npc.path_index)[idx].astype(np.float32),
+    ], axis=1)
+
+
+def _run_traffic_lockstep(density, num_steps, seed=0, policy_throttle=0.5,
+                          pos_atol=5e-3):
+    from .oracle import oracle as O
+
+    cfg = EnvConfig(num_agents=1, traffic_flow=True, traffic_density=density,
+                    max_steps=4000)
+    env = IntersectionEnv(cfg)
+    routes = [("IN_6", "OUT_2")]
+    state, obs = env.reset(jax.random.PRNGKey(seed), env.table.route_ids(routes))
+    step = jax.jit(env.step)
+
+    oenv = O.OracleEnv(num_lanes=3, traffic=True, max_steps=4000)
+    oenv.reset(routes)
+
+    T = env.table.traffic_route_ids.shape[0]
+    rng = np.random.RandomState(seed + 100)
+    p_spawn = 1.0 - np.exp(-density / 60.0)
+    spawn_count = 0
+
+    for t in range(num_steps):
+        # injected decision stream: Bernoulli(p) plus a periodic forced try so
+        # low-density configs still exercise the spawn path deterministically
+        do_try = bool(rng.uniform() < p_spawn) or (t % 40 == 7)
+        route_choice = int(rng.randint(T))
+        if do_try:
+            oenv.force_spawn(route_choice)
+        acts = np.array([[policy_throttle, 0.0]], np.float32)
+        state, out = step(state, jnp.asarray(acts),
+                          spawn=(jnp.asarray(do_try), jnp.int32(route_choice)))
+        ref = oenv.step(acts)
+
+        # NPC fleet comparison (vector order vs uid order)
+        mine = _npc_sorted(state)
+        refn = oenv.npcs()
+        assert mine.shape[0] == refn.shape[0], (t, mine.shape, refn.shape)
+        if mine.shape[0]:
+            spawn_count += 1
+            np.testing.assert_allclose(mine[:, :4],
+                                       refn[:, [0, 1, 2, 3]], atol=pos_atol, rtol=0,
+                                       err_msg=f"step {t}")
+            assert np.array_equal(mine[:, 4].astype(int), refn[:, 5].astype(int)), t
+
+        # ego-side agreement
+        st_mine = [STATUS_NAMES[int(s)] for s in np.asarray(out.status)]
+        st_ref = [STATUS_NAMES[int(s)] for s in ref["status"]]
+        assert st_mine == st_ref, (t, st_mine, st_ref)
+        np.testing.assert_allclose(np.asarray(out.reward), ref["reward"],
+                                   atol=1e-4, rtol=0, err_msg=f"step {t}")
+        mine_obs = np.asarray(out.obs)
+        np.testing.assert_allclose(mine_obs[:, :31], ref["obs"][:, :31],
+                                   atol=5e-5, rtol=0, err_msg=f"step {t}")
+        ldiff = np.abs(mine_obs[:, 31:] - ref["obs"][:, 31:])
+        assert (ldiff > 8.0 / 250.0 + 1e-6).sum() == 0, (t, ldiff.max())
+        assert (ldiff > 1e-6).sum(axis=-1).max() <= 3, t
+    return spawn_count
+
+
+@pytest.mark.oracle
+def test_config2_traffic_density_05():
+    """BASELINE config 2: single agent + traffic, density 0.5."""
+    steps_with_npcs = _run_traffic_lockstep(0.5, 400)
+    assert steps_with_npcs > 0
+
+
+@pytest.mark.oracle
+def test_dense_traffic_density_10():
+    """Dense traffic (test.py uses density=10): many concurrent NPCs, heavy
+    ghost-scan interaction, collision removal and despawn churn."""
+    steps_with_npcs = _run_traffic_lockstep(10.0, 350, seed=3)
+    assert steps_with_npcs > 100
+
+
+@pytest.mark.oracle
+@pytest.mark.slow
+def test_config4_dense_long():
+    _run_traffic_lockstep(1.0, 1200, seed=5)
+
+
+def test_npc_slot_overflow_drops_spawn():
+    """With max_npcs=2, a third spawn must be dropped, not corrupt state."""
+    cfg = EnvConfig(num_agents=1, traffic_flow=True, max_npcs=2)
+    env = IntersectionEnv(cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    T = env.table.traffic_route_ids.shape[0]
+    for t in range(3):
+        state, out = step(state, jnp.zeros((1, 2)),
+                          spawn=(jnp.asarray(True), jnp.int32((t * 7) % T)))
+    assert int(np.asarray(state.npc.alive).sum()) <= 2
