@@ -1,0 +1,89 @@
+"""North-star benchmark: batched env-steps/s/chip (4096 envs x 4 agents, lidar on).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+vs_baseline is measured, not quoted — the reference publishes no numbers
+(BASELINE.md): we time the reference C++ env itself (single instance, same
+config, compiled -O2 from /root/reference via the test oracle) on this host
+and report the throughput ratio. If the oracle can't build, vs_baseline is
+the ratio to the reference's 60 FPS real-time design rate (constants.h:8-9).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.envs.vector import VectorEnv
+
+    env = IntersectionEnv(EnvConfig(num_agents=num_agents, max_steps=10 ** 9))
+    venv = VectorEnv(env, num_envs=num_envs, auto_reset=True)
+    state, obs = jax.jit(venv.reset)(jax.random.PRNGKey(0))
+
+    actions = jnp.zeros((num_envs, num_agents, 2), jnp.float32)
+
+    @jax.jit
+    def multi_step(state):
+        def body(s, _):
+            s2, out = venv.step(s, actions)
+            return s2, ()
+        s, _ = jax.lax.scan(body, state, None, length=inner)
+        return s
+
+    state = multi_step(state)  # compile + warmup
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = multi_step(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return (num_envs * inner * iters) / dt
+
+
+def bench_reference(num_agents: int, steps: int = 2000) -> float:
+    """Reference C++ env steps/s, single instance (it cannot batch)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.oracle import oracle as O
+    from marl_traffic_intersection_tpu.core.routes import default_ego_routes
+
+    env = O.OracleEnv(num_lanes=3, max_steps=10 ** 9)
+    env.reset(default_ego_routes(num_agents, 3))
+    acts = np.zeros((num_agents, 2), np.float32)
+    env.step(acts)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        env.step(acts)
+    return steps / (time.perf_counter() - t0)
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    num_agents = int(os.environ.get("BENCH_NUM_AGENTS", 4))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    inner = int(os.environ.get("BENCH_INNER", 20))
+
+    value = bench_tpu(num_envs, num_agents, iters, inner)
+
+    try:
+        ref = bench_reference(num_agents)
+    except Exception:
+        ref = 60.0  # reference real-time design rate fallback
+    print(json.dumps({
+        "metric": f"batched env-steps/s/chip ({num_envs} envs x {num_agents} agents, lidar on)",
+        "value": round(value, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(value / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Gym-style stateful wrapper with the reference's Python API surface.
+
+Drop-in analogue of the reference ``IntersectionEnv`` (reference: env.py:80-221):
+config-dict construction, ``reset() -> (obs, info)``,
+``step(actions, dt) -> (obs, rewards, terminated, truncated, info)`` with the
+single-agent-vs-multi-agent return-shape switch, and ``render()`` delegating to
+the host-side debug renderer. Internally it drives the pure-functional jitted
+core and keeps the EnvState as its only mutable slot.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import DT_DEFAULT, STATUS_NAMES
+from ..core.env import EnvConfig, IntersectionEnv, RewardParams
+from ..core.routes import default_ego_routes
+
+# Mirrors the reference DEFAULT_REWARD_CONFIG (env.py:41-54)
+DEFAULT_REWARD_CONFIG = {
+    "use_team_reward": False,
+    "traffic_flow": False,
+    "reward_config": {
+        "progress_scale": 10.0,
+        "stuck_speed_threshold": 1.0,
+        "stuck_penalty": -0.01,
+        "crash_vehicle_penalty": -10.0,
+        "crash_object_penalty": -5.0,
+        "success_reward": 10.0,
+        "action_smoothness_scale": -0.02,
+        "team_alpha": 0.2,
+    },
+}
+
+
+class GymIntersectionEnv:
+    def __init__(self, config: Optional[Dict[str, Any]] = None):
+        if config is None:
+            config = {}
+        self.traffic_flow = bool(config.get("traffic_flow", False))
+        self.num_agents = 1 if self.traffic_flow else int(config.get("num_agents", 1))
+        self.num_lanes = int(config.get("num_lanes", 3))
+        self.render_mode = config.get("render_mode", None)
+        self.show_lane_ids = bool(config.get("show_lane_ids", False))
+        self.show_lidar = bool(config.get("show_lidar", False))
+
+        use_team = bool(config.get("use_team_reward",
+                                   DEFAULT_REWARD_CONFIG["use_team_reward"]))
+        if self.traffic_flow:
+            use_team = False
+
+        reward_cfg = config.get("reward_config")
+        if reward_cfg is None:
+            reward_cfg = DEFAULT_REWARD_CONFIG["reward_config"]
+        reward = RewardParams.from_dict(reward_cfg) if isinstance(reward_cfg, dict) \
+            else RewardParams()
+
+        self._cfg = EnvConfig(
+            num_agents=self.num_agents,
+            num_lanes=self.num_lanes,
+            traffic_flow=self.traffic_flow,
+            traffic_density=float(config.get("traffic_density", 0.5)),
+            use_team_reward=use_team,
+            respawn_enabled=bool(config.get("respawn_enabled", True)),
+            max_steps=int(config.get("max_steps", 2000)),
+            max_npcs=int(config.get("max_npcs", 32)),
+        )
+        self._core = IntersectionEnv(self._cfg, reward=reward)
+        self.lane_layout = self._core.table.layout
+        self.points = self.lane_layout["points"]
+
+        self.ego_routes: List[Tuple[str, str]] = config.get("ego_routes") or \
+            default_ego_routes(self.num_agents, self.num_lanes)
+
+        self._seed = int(config.get("seed", 0))
+        self._jit_step = jax.jit(self._core.step)
+        self._state = None
+        self._renderer = None
+
+        self.reset()
+
+    # ------------------------------------------------------------------- api
+    @property
+    def state(self):
+        """Current EnvState snapshot (value semantics; cf. get_state/set_state)."""
+        return self._state
+
+    @state.setter
+    def state(self, s):
+        self._state = s
+
+    def reset(self, seed: Optional[int] = None):
+        if seed is not None:
+            self._seed = seed
+        key = jax.random.PRNGKey(self._seed)
+        self._seed += 1
+        rids = self._core.table.route_ids(self.ego_routes)
+        self._state, obs = self._core.reset(key, rids)
+        obs = np.asarray(obs)
+        if self.traffic_flow:
+            return obs[0], {}
+        return obs, {}
+
+    def step(self, actions: Union[np.ndarray, List], dt: float = DT_DEFAULT):
+        actions = np.asarray(actions, dtype=np.float32)
+        if self.traffic_flow:
+            actions = actions.reshape(1, 2)
+        elif actions.ndim == 1:
+            if actions.size == 2 and self.num_agents == 1:
+                actions = actions.reshape(1, 2)
+            else:
+                raise ValueError(
+                    f"Expected actions shape (N,2) for multi-agent, got {actions.shape}")
+
+        self._state, out = self._jit_step(self._state, jnp.asarray(actions),
+                                          jnp.float32(dt))
+        obs = np.asarray(out.obs)
+        rewards = np.asarray(out.reward)
+        terminated = bool(out.terminated)
+        truncated = bool(out.truncated)
+        status = [STATUS_NAMES[int(s)] for s in np.asarray(out.status)]
+        done = [int(d) for d in np.asarray(out.done)]
+
+        # agent ids are stable slot indices + 1 (reference ids start at 1,
+        # IntersectionEnv.cpp:130; egos are never removed so they coincide)
+        collisions = {i + 1: status[i] for i in range(self.num_agents)}
+
+        info = {
+            "step": int(out.step),
+            "rewards": rewards.tolist() if not self.traffic_flow else float(rewards[0]),
+            "collisions": collisions,
+            "agents_alive": int(out.agents_alive),
+            "terminated": terminated,
+            "truncated": truncated,
+            "done": done,
+            "status": status,
+        }
+        if self.traffic_flow:
+            return obs[0], float(rewards[0]), terminated, truncated, info
+        return obs, rewards, terminated, truncated, info
+
+    def render(self, show_lane_ids: Optional[bool] = None,
+               show_lidar: Optional[bool] = None):
+        if self.render_mode not in ("human", "rgb_array"):
+            return None
+        if show_lane_ids is None:
+            show_lane_ids = self.show_lane_ids
+        if show_lidar is None:
+            show_lidar = self.show_lidar
+        if self._renderer is None:
+            from ..render.draw import Renderer
+            self._renderer = Renderer(self._core)
+        frame = self._renderer.render(self._state, show_lane_ids=show_lane_ids,
+                                      show_lidar=show_lidar)
+        if self.render_mode == "human":
+            self._renderer.show(frame)
+        return frame
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+            self._renderer = None

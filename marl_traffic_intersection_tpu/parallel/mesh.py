@@ -1,0 +1,92 @@
+"""Device mesh + sharding helpers.
+
+TPU-native scaling design (net-new vs the single-process reference; SURVEY.md
+§5.8): a 2-D ``(data, model)`` mesh. The env batch is sharded along ``data``
+(env instances are fully independent — stepping needs zero communication);
+policy parameters are optionally tensor-sharded along ``model``. Gradient
+reduction across ``data`` is *implicit*: the loss mean contracts the sharded
+batch axis, and XLA inserts the psum over ICI. Multi-host: call
+``jax.distributed.initialize()`` before ``make_mesh`` and the same code runs
+on a pod slice — ``jax.devices()`` spans all hosts.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the data axis (env batch)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_tree(mesh: Mesh, tree):
+    """Apply leading-axis data sharding to every array in a pytree."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --------------------------------------------------------------------- tensor
+def _mlp_rule(path: str) -> P:
+    """Tensor-parallel layout for ActorCriticMLP: first torso layer column-
+    sharded, second row-sharded (XLA inserts the psum on the contraction);
+    heads replicated."""
+    if "torso_0" in path:
+        return P(None, "model") if path.endswith("kernel") else P("model")
+    if "torso_1" in path:
+        return P("model", None) if path.endswith("kernel") else P()
+    return P()
+
+
+def _transformer_rule(path: str) -> P:
+    """Megatron-style layout for SceneTransformerPolicy blocks: QKV/MLP-up
+    column-sharded, attention-out/MLP-down row-sharded."""
+    k = path.endswith("kernel")
+    if any(s in path for s in ("query", "key", "value")):
+        return P(None, "model", None) if k else P("model", None)
+    if "attention/out" in path or "out/kernel" in path and "block" in path:
+        return P("model", None, None) if k else P()
+    if "block" in path and "Dense_0" in path:
+        return P(None, "model") if k else P("model")
+    if "block" in path and "Dense_1" in path:
+        return P("model", None) if k else P()
+    return P()
+
+
+def param_shardings(mesh: Mesh, params, model_kind: str = "mlp"):
+    """NamedSharding tree for a params pytree under the given mesh."""
+    rule = _mlp_rule if model_kind == "mlp" else _transformer_rule
+
+    def assign(path, leaf):
+        pstr = "/".join(str(getattr(p, "key", p)) for p in path)
+        spec = rule(pstr)
+        if len([s for s in spec if s is not None]) > 0 and leaf.ndim < len(spec):
+            spec = P()
+        # drop specs that don't divide the dim evenly
+        try:
+            for d, s in zip(leaf.shape, spec):
+                if s is not None and d % mesh.shape["model"] != 0:
+                    return NamedSharding(mesh, P())
+        except Exception:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(assign, params)

@@ -1,0 +1,137 @@
+"""Manual-control / scripted demo harness (analogue of the reference test.py).
+
+The reference harness drives a GLFW window with arrow keys and a real-time
+fixed-substep loop (reference: test.py:100-172). This portable version supports:
+
+  - interactive matplotlib keyboard driving when a display is available
+    (arrows = throttle/steer, r = reset, l = toggle lidar, q = quit)
+  - headless scripted mode (--script) that drives a cruise controller and
+    writes frames + an animated GIF to --out
+
+Both use the same real-time substepping: elapsed wall time is consumed in
+dt = min(remaining, 1/60) chunks per frame (test.py:144-156).
+"""
+from __future__ import annotations
+
+import argparse
+import random
+import time
+
+import numpy as np
+
+from marl_traffic_intersection_tpu.envs.gym import GymIntersectionEnv
+from marl_traffic_intersection_tpu.core.routes import (
+    DEFAULT_ROUTE_MAPPING_2LANES, DEFAULT_ROUTE_MAPPING_3LANES)
+
+
+def all_routes(num_lanes: int):
+    mapping = DEFAULT_ROUTE_MAPPING_2LANES if num_lanes == 2 else DEFAULT_ROUTE_MAPPING_3LANES
+    return [(s, e) for s, ends in mapping.items() for e in ends]
+
+
+def scripted(env: GymIntersectionEnv, steps: int, out: str):
+    """Cruise along the route with a P-controller; dump a GIF."""
+    from PIL import Image
+
+    frames = []
+    obs, _ = env.reset()
+    total = 0.0
+    for t in range(steps):
+        # steer toward the lookahead target using obs[5] (theta_error/pi)
+        theta_err = float(obs[5] if obs.ndim == 1 else obs[0, 5])
+        act = np.array([0.5, np.clip(theta_err * 3.0, -1, 1)], np.float32)
+        if env.num_agents > 1:
+            acts = np.tile(act, (env.num_agents, 1))
+            for i in range(env.num_agents):
+                te = float(obs[i, 5])
+                acts[i, 1] = np.clip(te * 3.0, -1, 1)
+            obs, rew, term, trunc, info = env.step(acts)
+            total += float(np.sum(rew))
+        else:
+            obs, rew, term, trunc, info = env.step(act)
+            total += float(rew)
+        if t % 3 == 0:
+            frames.append(Image.fromarray(env.render()))
+        if term or trunc:
+            obs, _ = env.reset()
+    if frames:
+        frames[0].save(out, save_all=True, append_images=frames[1:],
+                       duration=50, loop=0)
+        print(f"wrote {out} ({len(frames)} frames), total reward {total:.2f}")
+
+
+def interactive(env: GymIntersectionEnv):
+    import matplotlib.pyplot as plt
+
+    pressed = set()
+    state = {"show_lidar": True, "quit": False}
+
+    def on_key(event, down: bool):
+        k = event.key
+        if down and k == "q":
+            state["quit"] = True
+        elif down and k == "r":
+            env.ego_routes = [random.choice(all_routes(env.num_lanes))]
+            env.reset()
+        elif down and k == "l":
+            state["show_lidar"] = not state["show_lidar"]
+        elif k in ("up", "down", "left", "right"):
+            (pressed.add if down else pressed.discard)(k)
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
+    fig.canvas.mpl_connect("key_release_event", lambda e: on_key(e, False))
+    obs, _ = env.reset()
+    im = ax.imshow(env.render(show_lidar=state["show_lidar"]))
+    plt.ion()
+    plt.show()
+
+    last = time.perf_counter()
+    while not state["quit"] and plt.fignum_exists(fig.number):
+        throttle = (1.0 if "up" in pressed else 0.0) + (-1.0 if "down" in pressed else 0.0)
+        steer = (1.0 if "left" in pressed else 0.0) + (-1.0 if "right" in pressed else 0.0)
+        now = time.perf_counter()
+        remaining = min(now - last, 0.25)
+        last = now
+        while remaining > 1e-9:  # fixed-substep integration (test.py:144-156)
+            dt = min(remaining, 1.0 / 60.0)
+            obs, rew, term, trunc, info = env.step(
+                np.array([throttle, steer], np.float32), dt=dt)
+            remaining -= dt
+        im.set_data(env.render(show_lidar=state["show_lidar"]))
+        fig.canvas.draw_idle()
+        plt.pause(1.0 / 60.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--script", action="store_true", help="headless scripted demo")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--out", default="/tmp/mti_demo.gif")
+    ap.add_argument("--traffic", action="store_true")
+    ap.add_argument("--density", type=float, default=10.0)
+    ap.add_argument("--agents", type=int, default=1)
+    ap.add_argument("--lanes", type=int, default=3)
+    args = ap.parse_args()
+
+    env = GymIntersectionEnv({
+        "traffic_flow": args.traffic,
+        "traffic_density": args.density,
+        "num_agents": args.agents,
+        "num_lanes": args.lanes,
+        "render_mode": "rgb_array" if args.script else "human",
+        "max_steps": 100000,
+        "respawn_enabled": True,
+        "show_lidar": True,
+    })
+    env.ego_routes = [random.choice(all_routes(args.lanes))
+                      for _ in range(env.num_agents)]
+    env.reset()
+    if args.script:
+        scripted(env, args.steps, args.out)
+    else:
+        interactive(env)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the virtual 8-CPU-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+from marl_traffic_intersection_tpu.envs.vector import VectorEnv
+from marl_traffic_intersection_tpu.models import ActorCriticMLP
+from marl_traffic_intersection_tpu.parallel.mesh import (
+    data_sharding, make_mesh, param_shardings, shard_batch_tree)
+from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_sharded_env_batch_step():
+    """Env batch sharded over the data axis steps under jit with no host sync."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    env = IntersectionEnv(EnvConfig(num_agents=2))
+    venv = VectorEnv(env, num_envs=16, auto_reset=False)
+    state, obs = venv.reset(jax.random.PRNGKey(0))
+    state = shard_batch_tree(mesh, state)
+
+    step = jax.jit(venv.step)
+    state2, out = step(state, jnp.zeros((16, 2, 2)))
+    assert out.obs.shape == (16, 2, 127)
+    # leading axis stays sharded over the 8 devices
+    assert len(state2.ego.x.sharding.device_set) == 8
+
+    # sharded result equals unsharded single-device result
+    state_r, _ = venv.reset(jax.random.PRNGKey(0))
+    _, out_r = step(state_r, jnp.zeros((16, 2, 2)))
+    np.testing.assert_array_equal(np.asarray(out.obs), np.asarray(out_r.obs))
+
+
+def test_tp_param_shardings():
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = ActorCriticMLP(hidden=(128, 128))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 127)))
+    shardings = param_shardings(mesh, params, "mlp")
+    k0 = shardings["params"]["torso_0"]["kernel"].spec
+    k1 = shardings["params"]["torso_1"]["kernel"].spec
+    assert tuple(k0) == (None, "model")
+    assert tuple(k1) == ("model", None)
+    # forward under mesh sharding matches replicated forward
+    sharded = jax.tree.map(jax.device_put, params, shardings)
+    obs = jnp.ones((4, 127))
+    out_a = jax.jit(model.apply)(sharded, obs)
+    out_b = jax.jit(model.apply)(params, obs)
+    np.testing.assert_allclose(np.asarray(out_a[0]), np.asarray(out_b[0]),
+                               atol=1e-5)
+
+
+def test_full_train_step_dp_tp():
+    """dp=4 x tp=2 PPO train step on tiny shapes: compiles and runs."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=32))
+    venv = VectorEnv(env, num_envs=8)
+    learner = PPOLearner(venv, ActorCriticMLP(hidden=(128, 128)),
+                         PPOConfig(rollout_len=8, num_minibatches=2,
+                                   update_epochs=1))
+    ts = learner.init(jax.random.PRNGKey(0))
+    state, obs = venv.reset(jax.random.PRNGKey(1))
+
+    step, shard_ts, shard_env = learner.jit_train_step(mesh, "mlp")
+    ts = shard_ts(ts)
+    state, obs = shard_env(state, obs)
+    ts, state, obs, key, metrics = step(ts, state, obs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert np.isfinite(float(metrics["mean_reward"]))
