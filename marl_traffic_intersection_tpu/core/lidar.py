@@ -108,10 +108,15 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     )                                                     # (R, S, M)
     car_hit = pos_dist[None, :] & jnp.any(in_box & active, axis=-1)
 
-    event = oob | road_hit | car_hit                      # (R, S)
-    any_event = jnp.any(event, axis=-1)                   # (R,)
-    first = jnp.argmax(event, axis=-1)                    # (R,) first-event sample index
-    first_is_oob = jnp.take_along_axis(oob, first[:, None], axis=-1)[:, 0]
-
-    hit = any_event & ~first_is_oob
-    return jnp.where(hit, first.astype(f32) * f32(LIDAR_STEP), f32(LIDAR_MAX_DIST))
+    # Resolve the sequential break with two fused min-reductions: the first
+    # sample index that is a hit (not-oob ∧ (road ∨ car)) vs the first that is
+    # out-of-bounds. oob wins ties by construction (a hit sample requires
+    # ~oob), so: hit iff first_hit < first_oob.
+    samp = jnp.arange(LIDAR_SAMPLES, dtype=jnp.int32)
+    big = jnp.int32(LIDAR_SAMPLES)
+    hit_code = jnp.where(~oob & (road_hit | car_hit), samp[None, :], big)
+    oob_code = jnp.where(oob, samp[None, :], big)
+    first_hit = jnp.min(hit_code, axis=-1)                # (R,)
+    first_oob = jnp.min(oob_code, axis=-1)
+    hit = first_hit < first_oob
+    return jnp.where(hit, first_hit.astype(f32) * f32(LIDAR_STEP), f32(LIDAR_MAX_DIST))

@@ -53,7 +53,7 @@ _SAFE_RADIUS_SQ = _SAFE_RADIUS * _SAFE_RADIUS
 _SCAN_STEPS = 120
 _CX = np.float32(WIDTH * 0.5)
 _CY = np.float32(HEIGHT * 0.5)
-_UID_MAX = jnp.int32(np.iinfo(np.int32).max)
+_UID_MAX = np.int32(np.iinfo(np.int32).max)
 
 
 class NpcState(NamedTuple):
