@@ -152,6 +152,16 @@ class StepOutput(NamedTuple):
     spawned: jnp.ndarray         # () bool — NPC spawn happened this tick
 
 
+def _gather_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather as a one-hot matmul: TPU gathers of table rows are slow,
+    while a (..., R) x (R, D) contraction rides the MXU. table: (R, ...)."""
+    r = table.shape[0]
+    flat = table.reshape(r, -1)
+    oh = jax.nn.one_hot(idx, r, dtype=flat.dtype)
+    out = oh @ flat
+    return out.reshape(idx.shape + table.shape[1:])
+
+
 class IntersectionEnv:
     """Functional environment core. All methods are pure; jit-wrap at will."""
 
@@ -170,6 +180,12 @@ class IntersectionEnv:
         self._goal_xy = t.goal_xy
         self._goal_prev_xy = t.goal_prev_xy
         self._traffic_ids = t.traffic_route_ids
+        # fused per-route auxiliary table: one one-hot matmul fetches
+        # goal(2) | goal_prev(2) | spawn_xy(2) | spawn_heading(1) | intent(1)
+        self._aux = np.concatenate([
+            t.goal_xy, t.goal_prev_xy, t.spawn_xy,
+            t.spawn_heading[:, None], t.intent[:, None].astype(np.float32),
+        ], axis=1).astype(np.float32)
 
     # ------------------------------------------------------------------ reset
     def default_route_ids(self) -> np.ndarray:
@@ -179,6 +195,11 @@ class IntersectionEnv:
     def reset(self, key, route_ids=None) -> Tuple[EnvState, jnp.ndarray]:
         """Fresh state with egos spawned on their routes
         (reference: env.py:147-161, cpp/IntersectionEnv.cpp:66-131)."""
+        state = self.reset_state(key, route_ids)
+        return state, self.observe(state)
+
+    def reset_state(self, key, route_ids=None) -> EnvState:
+        """reset() without building the observation (see envs/vector.py)."""
         cfg = self.config
         if route_ids is None:
             route_ids = self.default_route_ids()
@@ -205,12 +226,12 @@ class IntersectionEnv:
             step_count=jnp.int32(0),
             key=key,
         )
-        return state, self.observe(state)
+        return state
 
     # ------------------------------------------------------------------- step
     def step(self, state: EnvState, actions, dt=DT_DEFAULT,
-             spawn: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
-             ) -> Tuple[EnvState, StepOutput]:
+             spawn: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+             with_obs: bool = True) -> Tuple[EnvState, StepOutput]:
         cfg = self.config
         rw = self.reward
         n = cfg.num_agents
@@ -252,11 +273,12 @@ class IntersectionEnv:
         steering = jnp.where(alive, ph.steering_angle, ego.steering_angle)
         acc = ph.acc  # recomputed every tick; only used by the smooth term
 
-        ego_paths = paths[ego.route_id]                   # (N, P, 2)
+        ego_paths = _gather_rows_matmul(paths, ego.route_id)  # (N, P, 2)
         pi = update_path_index(ego_paths, PATH_LEN, ego.path_index, x, y)
         pi = jnp.where(alive, pi, ego.path_index)
 
-        goal = goal_xy[ego.route_id]                      # (N, 2)
+        aux = _gather_rows_matmul(jnp.asarray(self._aux), ego.route_id)  # (N, 8)
+        goal = aux[:, 0:2]                                # (N, 2)
         cur_dist = jnp.hypot(x - goal[:, 0], y - goal[:, 1])
         max_prog = np.float32(np.hypot(np.float32(WIDTH), np.float32(HEIGHT)))
         r_prog = jnp.where(ego.prev_dist_to_goal > _F(0.0),
@@ -276,7 +298,7 @@ class IntersectionEnv:
         prev_steer_norm = jnp.where(alive, steer_norm, ego.prev_steer_norm)
 
         # --- 3) per-ego status (IntersectionEnv.cpp:166-290)
-        goal_prev = jnp.asarray(self._goal_prev_xy)[ego.route_id]
+        goal_prev = aux[:, 2:4]
         dxr = goal[:, 0] - goal_prev[:, 0]
         dyr = goal[:, 1] - goal_prev[:, 1]
         horiz = jnp.abs(dxr) > jnp.abs(dyr)
@@ -318,21 +340,17 @@ class IntersectionEnv:
         else:
             npc_hit_any = jnp.zeros((n,), bool)
 
+        # Unrolled (n is static and small): avoids per-iteration loop overhead
+        # and lets XLA fuse the whole cascade. one_i selects row i without
+        # scatters.
         jidx = jnp.arange(n)
-
-        def _row(i, carry):
-            done_c, status_c = carry
-            row_ok = alive[i] & ~done_c[i]
-            jm = row_ok & (jidx > i) & alive & ~done_c & collide_ee[i]
-            done_c = done_c | jm
-            status_c = jnp.where(jm, STATUS_CRASH_CAR, status_c)
+        for i in range(n):
+            row_ok = alive[i] & ~done[i]
+            jm = row_ok & (jidx > i) & alive & ~done & collide_ee[i]
             hit_i = row_ok & (jnp.any(jm) | npc_hit_any[i])
-            done_c = done_c.at[i].set(done_c[i] | hit_i)
-            status_c = status_c.at[i].set(
-                jnp.where(hit_i, STATUS_CRASH_CAR, status_c[i]))
-            return done_c, status_c
-
-        done, status = jax.lax.fori_loop(0, n, _row, (done, status))
+            upd = jm | ((jidx == i) & hit_i)
+            done = done | upd
+            status = jnp.where(upd, STATUS_CRASH_CAR, status)
 
         # --- 5) terminal bonuses + team mixing (IntersectionEnv.cpp:321-336)
         is_crash_car = status == STATUS_CRASH_CAR
@@ -349,8 +367,8 @@ class IntersectionEnv:
         terminated = jnp.asarray(False)
         if cfg.respawn_enabled:
             crash = alive & done & (is_crash_car | is_crash_obj)
-            sp_xy = jnp.asarray(self._spawn_xy)[ego.route_id]
-            sp_h = jnp.asarray(self._spawn_heading)[ego.route_id]
+            sp_xy = aux[:, 4:6]
+            sp_h = aux[:, 6]
             x = jnp.where(crash, sp_xy[:, 0], x)
             y = jnp.where(crash, sp_xy[:, 1], y)
             v = jnp.where(crash, _F(0.0), v)
@@ -392,7 +410,8 @@ class IntersectionEnv:
 
         new_state = EnvState(ego=new_ego, npc=npc, lidar=lidar,
                              step_count=step_count, key=key)
-        obs = self.observe(new_state)
+        obs = self.observe(new_state) if with_obs else \
+            jnp.zeros((n, OBS_DIM), _F)
         out = StepOutput(
             obs=obs, reward=rewards, done=done, status=status,
             terminated=terminated, truncated=truncated,
@@ -422,9 +441,11 @@ class IntersectionEnv:
         ], axis=-1)
 
         tgt_idx = jnp.minimum(ego.path_index + 10, PATH_LEN - 1)
-        ego_paths = paths[ego.route_id]
-        tx = jnp.take_along_axis(ego_paths[..., 0], tgt_idx[:, None], axis=-1)[:, 0]
-        ty = jnp.take_along_axis(ego_paths[..., 1], tgt_idx[:, None], axis=-1)[:, 0]
+        ego_paths = _gather_rows_matmul(paths, ego.route_id)
+        # one-hot contraction instead of a dynamic gather (slow on TPU)
+        onehot = (jnp.arange(PATH_LEN, dtype=jnp.int32) == tgt_idx[:, None])
+        tx = jnp.sum(jnp.where(onehot, ego_paths[..., 0], _F(0.0)), axis=-1)
+        ty = jnp.sum(jnp.where(onehot, ego_paths[..., 1], _F(0.0)), axis=-1)
         dxd = tx - x
         dyd = ty - y
         d_dst = jnp.sqrt(dxd * dxd + dyd * dyd) / _F(WIDTH)

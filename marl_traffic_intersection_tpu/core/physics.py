@@ -134,17 +134,20 @@ def update_path_index(path, path_len, path_index, x, y, search_range: int = 50):
     number of valid points; path_index: (...,) int32 current index; x, y: (...,)
     position. Searches only ``search_range`` points forward of the current
     index, first-minimum tie-break (argmin matches the reference's strict ``<``).
+
+    TPU note: computes distances to ALL P points and masks to the window
+    instead of gathering the 50-point window — dynamic gathers are slow on
+    TPU while the dense (..., P) sweep is pure VPU work and fuses.
     """
     path_index = jnp.maximum(path_index, 0)
-    offs = jnp.arange(search_range, dtype=jnp.int32)
-    idx = path_index[..., None] + offs  # (..., S)
-    valid = idx < jnp.asarray(path_len, jnp.int32)[..., None]
-    idx_c = jnp.minimum(idx, jnp.asarray(path_len, jnp.int32)[..., None] - 1)
-    px = jnp.take_along_axis(path[..., 0], idx_c, axis=-1)
-    py = jnp.take_along_axis(path[..., 1], idx_c, axis=-1)
-    dx = px - x[..., None]
-    dy = py - y[..., None]
+    P = path.shape[-2]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    in_window = (iota >= path_index[..., None]) & \
+                (iota < path_index[..., None] + search_range) & \
+                (iota < jnp.asarray(path_len, jnp.int32))
+    dx = path[..., 0] - x[..., None]
+    dy = path[..., 1] - y[..., None]
     d = dx * dx + dy * dy
-    d = jnp.where(valid, d, jnp.inf)
-    best = jnp.argmin(d, axis=-1).astype(jnp.int32)
-    return path_index + best
+    d = jnp.where(in_window, d, jnp.inf)
+    # first-minimum over the window == reference's ascending strict-< scan
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)

@@ -39,32 +39,37 @@ class VectorEnv:
             route_pool = np.unique(pool)
         self.route_pool = jnp.asarray(route_pool, jnp.int32)
 
-    # single-env reset with routes sampled from the pool
-    def _reset_one(self, key) -> Tuple[EnvState, jnp.ndarray]:
+    # single-env reset (state only) with routes sampled from the pool
+    def _reset_state_one(self, key) -> EnvState:
         krt, kst = jax.random.split(key)
         rids = jax.random.choice(krt, self.route_pool, (self.env.config.num_agents,))
-        return self.env.reset(kst, rids)
+        return self.env.reset_state(kst, rids)
 
     def reset(self, key) -> Tuple[EnvState, jnp.ndarray]:
         """Batched reset. Returns (state, obs) with leading dim num_envs."""
         keys = jax.random.split(key, self.num_envs)
-        return jax.vmap(self._reset_one)(keys)
+        state = jax.vmap(self._reset_state_one)(keys)
+        return state, jax.vmap(self.env.observe)(state)
 
     def step(self, state: EnvState, actions, dt=DT_DEFAULT
              ) -> Tuple[EnvState, StepOutput]:
         """Batched step; actions (B, N, 2). Auto-resets finished envs."""
-        new_state, out = jax.vmap(partial(self.env.step, dt=dt))(state, actions)
         if not self.auto_reset:
-            return new_state, out
+            return jax.vmap(partial(self.env.step, dt=dt))(state, actions)
 
+        # step without obs, merge in fresh states for finished envs, then
+        # build the observation once on the merged state (equivalent to
+        # observing stepped and fresh states separately, at half the cost)
+        new_state, out = jax.vmap(partial(self.env.step, dt=dt, with_obs=False))(
+            state, actions)
         ep_done = out.terminated | out.truncated                  # (B,)
         reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(new_state.key)
-        fresh_state, fresh_obs = jax.vmap(self._reset_one)(reset_keys)
+        fresh_state = jax.vmap(self._reset_state_one)(reset_keys)
 
         def pick(a, b):
             mask = ep_done.reshape((-1,) + (1,) * (a.ndim - 1))
             return jnp.where(mask, a, b)
 
         merged = jax.tree.map(pick, fresh_state, new_state)
-        obs = jnp.where(ep_done[:, None, None], fresh_obs, out.obs)
+        obs = jax.vmap(self.env.observe)(merged)
         return merged, out._replace(obs=obs)
