@@ -97,6 +97,46 @@ def is_line_pixel(xi, yi, num_lanes: int = 3):
     return in_bounds & ((vband & vspan) | (hband & hspan))
 
 
+def road_obstacle_mask(num_lanes: int = 3) -> np.ndarray:
+    """Pixel obstacle grid (1 = obstacle/grass, 0 = road).
+
+    Parity port of the reference RoadMask (cpp/RoadMask.cpp:43-71): full-white
+    grid, road cross cut out, four corner squares cut out; the corner grass
+    circles are deliberately NOT re-applied (see the reference's comment at
+    RoadMask.cpp:64-70). NOTE: this component is dead code in the reference —
+    ``is_obstacle`` is never called (SURVEY.md §2 #5); the analytic
+    ``is_on_road`` drives lidar/collision there and here. Provided for
+    component parity and debug visualization.
+    """
+    grid = np.ones((HEIGHT, WIDTH), dtype=np.uint8)
+    cx, cy = WIDTH // 2, HEIGHT // 2
+    rw = int(round(num_lanes * LANE_WIDTH_PX))
+    cr = int(round(CORNER_RADIUS))
+    grid[:, cx - rw:cx + rw] = 0
+    grid[cy - rw:cy + rw, :] = 0
+    for x0, y0 in ((cx - rw - cr, cy - rw - cr), (cx + rw, cy - rw - cr),
+                   (cx - rw - cr, cy + rw), (cx + rw, cy + rw)):
+        grid[max(0, y0):y0 + cr, max(0, x0):x0 + cr] = 0
+    return grid
+
+
+def is_obstacle_pixel(xi, yi, num_lanes: int = 3):
+    """Analytic equivalent of RoadMask::is_obstacle (cpp/RoadMask.h:15-18):
+    out-of-bounds returns False (ray breaks, not a hit); otherwise inverse of
+    the cross+corner-squares road cutout (no grass circles)."""
+    cx, cy = WIDTH // 2, HEIGHT // 2
+    rw = int(round(num_lanes * LANE_WIDTH_PX))
+    cr = int(round(CORNER_RADIUS))
+    xi = jnp.asarray(xi, jnp.int32)
+    yi = jnp.asarray(yi, jnp.int32)
+    in_bounds = (xi >= 0) & (xi < WIDTH) & (yi >= 0) & (yi < HEIGHT)
+    in_cross = ((xi >= cx - rw) & (xi < cx + rw)) | ((yi >= cy - rw) & (yi < cy + rw))
+    in_x = ((xi >= cx - rw - cr) & (xi < cx - rw)) | ((xi >= cx + rw) & (xi < cx + rw + cr))
+    in_y = ((yi >= cy - rw - cr) & (yi < cy - rw)) | ((yi >= cy + rw) & (yi < cy + rw + cr))
+    road = in_cross | (in_x & in_y)
+    return in_bounds & ~road
+
+
 def rasterize_line_mask(num_lanes: int = 3) -> np.ndarray:
     """Direct rasterization of the reference LineMask grid, for tests/rendering.
 

@@ -1,0 +1,55 @@
+"""Checkpointing, road-mask parity, and driver entry-point tests."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_road_mask_parity():
+    from marl_traffic_intersection_tpu.core.geometry import (
+        is_obstacle_pixel, road_obstacle_mask)
+    for lanes in (2, 3):
+        grid = road_obstacle_mask(lanes)
+        ys, xs = np.mgrid[0:750, 0:750]
+        got = np.asarray(is_obstacle_pixel(xs.astype(np.int32),
+                                           ys.astype(np.int32), lanes))
+        assert np.array_equal(got, grid.astype(bool))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
+    env = IntersectionEnv(EnvConfig(num_agents=2))
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state, out = jax.jit(env.step)(state, jnp.zeros((2, 2)))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, template=jax.device_get(state))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state steps identically
+    s1, o1 = jax.jit(env.step)(state, jnp.zeros((2, 2)))
+    s2, o2 = jax.jit(env.step)(jax.tree.map(jnp.asarray, restored), jnp.zeros((2, 2)))
+    np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+
+
+def test_graft_entry():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (4096, 2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
