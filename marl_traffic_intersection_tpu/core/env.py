@@ -107,6 +107,7 @@ class EnvConfig:
     respawn_enabled: bool = True
     max_steps: int = 2000
     max_npcs: int = 32
+    lidar_impl: str = "xla"  # "xla" (fused jnp) | "pallas" (TPU kernel)
 
     def __post_init__(self):
         if self.traffic_flow:
@@ -404,8 +405,12 @@ class IntersectionEnv:
             om = jnp.concatenate([jnp.ones((n,), bool), npc.alive])
         else:
             ox, oy, oh, om = x, y, heading, jnp.ones((n,), bool)
-        scan = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om,
-                                                   cfg.num_lanes))(x, y, heading)
+        if cfg.lidar_impl == "pallas":
+            from ..ops.lidar_pallas import lidar_batch
+            scan = lidar_batch(x, y, heading, ox, oy, oh, om)
+        else:
+            scan = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om,
+                                                       cfg.num_lanes))(x, y, heading)
         lidar = jnp.where(alive[:, None], scan, state.lidar)
 
         new_state = EnvState(ego=new_ego, npc=npc, lidar=lidar,
