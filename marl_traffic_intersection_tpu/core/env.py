@@ -108,6 +108,7 @@ class EnvConfig:
     max_steps: int = 2000
     max_npcs: int = 32
     lidar_impl: str = "xla"  # "xla" (fused jnp) | "pallas" (TPU kernel)
+    npc_mode: str = "exact"  # "exact" (sequential, bit-match) | "fast" (sync)
 
     def __post_init__(self):
         if self.traffic_flow:
@@ -254,7 +255,11 @@ class IntersectionEnv:
                     sub, int(self._traffic_ids.shape[0]), cfg.traffic_density, dt)
             else:
                 do_try, route_choice = spawn
-            npc, spawned = npc_traffic_update(
+            if cfg.npc_mode == "fast":
+                from .npc import npc_traffic_update_fast as _npc_update
+            else:
+                _npc_update = npc_traffic_update
+            npc, spawned = _npc_update(
                 npc, paths, goal_xy,
                 jnp.asarray(self._spawn_xy), jnp.asarray(self._spawn_heading),
                 jnp.asarray(self._traffic_ids),

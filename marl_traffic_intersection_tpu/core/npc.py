@@ -131,12 +131,12 @@ def _plan_npc_action(slot, pi0, x, y, v, heading, alive, uid, path):
                                        acc_throttle))
 
     # --- 3) ghost path scan (TrafficFlow.cpp:77-185)
-    offs = jnp.arange(_SCAN_STEPS, dtype=jnp.int32)
-    scan_idx = pi0 + offs
-    scan_valid = scan_idx < PATH_LEN
-    scan_idx_c = jnp.minimum(scan_idx, PATH_LEN - 1)
-    ghost = path[scan_idx_c]                              # (K, 2)
-    gx, gy = ghost[:, 0], ghost[:, 1]
+    # Dense masked sweep over ALL path points with a [pi0, pi0+K) window mask
+    # instead of gathering the 120-point window (TPU gathers are slow; the
+    # full-path sweep is pure VPU work).
+    iota = jnp.arange(PATH_LEN, dtype=jnp.int32)
+    scan_valid = (iota >= pi0) & (iota < pi0 + _SCAN_STEPS)  # (P,)
+    gx, gy = path[:, 0], path[:, 1]                          # (P,)
 
     # per-point x per-other proximity
     d_og_sq = (x[None, :] - gx[:, None]) ** 2 + (y[None, :] - gy[:, None]) ** 2
@@ -323,5 +323,68 @@ def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_head
                                  traffic_route_ids, spawn_xy, spawn_heading)
     npc = npc_controller_update(npc, paths_table, dt)
     npc = npc_collisions(npc)
+    npc = npc_despawn(npc, goal_xy)
+    return npc, spawned
+
+
+# ----------------------------------------------------------------- fast mode
+def npc_controller_update_fast(npc: NpcState, paths_table, dt) -> NpcState:
+    """Synchronous (vectorized) controller pass — the opt-in training-speed
+    variant of npc_controller_update. All NPCs plan against the same pre-tick
+    snapshot instead of the reference's sequential in-place updates
+    (TrafficFlow.cpp:337-344), then integrate together. Behavior differs from
+    the exact mode only through same-tick pose deltas (<= v_max px); use
+    EnvConfig.npc_mode='fast' for throughput, 'exact' for bit-match work."""
+    max_npcs = npc.alive.shape[0]
+    slots = jnp.arange(max_npcs, dtype=jnp.int32)
+
+    # one-hot matmul row fetch (TPU gathers of table rows are slow)
+    r = paths_table.shape[0]
+    oh = jax.nn.one_hot(npc.route_id, r, dtype=paths_table.dtype)
+    paths = (oh @ paths_table.reshape(r, -1)).reshape(max_npcs, PATH_LEN, 2)
+    pi0 = update_path_index(paths, PATH_LEN, npc.path_index, npc.x, npc.y)
+
+    def plan_one(slot, pi, path):
+        return _plan_npc_action(slot, pi, npc.x, npc.y, npc.v, npc.heading,
+                                npc.alive, npc.uid, path)
+
+    throttle, steer = jax.vmap(plan_one)(slots, pi0, paths)
+    out = car_physics_step(npc.x, npc.y, npc.v, npc.heading, npc.steering_angle,
+                           throttle, steer, dt)
+    pi1 = update_path_index(paths, PATH_LEN, pi0, out.x, out.y)
+
+    keep = npc.alive
+    return npc._replace(
+        x=jnp.where(keep, out.x, npc.x),
+        y=jnp.where(keep, out.y, npc.y),
+        v=jnp.where(keep, out.v, npc.v),
+        heading=jnp.where(keep, out.heading, npc.heading),
+        steering_angle=jnp.where(keep, out.steering_angle, npc.steering_angle),
+        path_index=jnp.where(keep, pi1, npc.path_index),
+    )
+
+
+def npc_collisions_fast(npc: NpcState) -> NpcState:
+    """Synchronous pairwise removal: any alive NPC overlapping another alive
+    NPC dies (approximates the ordered row semantics of npc_collisions; they
+    differ only in chained-kill corner cases)."""
+    corners = car_corners(npc.x, npc.y, npc.heading)
+    collide = sat_overlap(
+        corners[:, None], npc.heading[:, None], corners[None, :], npc.heading[None, :])
+    m = npc.alive.shape[0]
+    off_diag = ~jnp.eye(m, dtype=bool)
+    hit = jnp.any(collide & off_diag & npc.alive[None, :], axis=-1) & npc.alive
+    return npc._replace(alive=npc.alive & ~hit)
+
+
+def npc_traffic_update_fast(npc: NpcState, paths_table, goal_xy, spawn_xy,
+                            spawn_heading, traffic_route_ids, ego_x, ego_y,
+                            ego_present, do_try, route_choice, dt):
+    """Fast-mode per-tick NPC pipeline (see npc_traffic_update)."""
+    npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y,
+                                 ego_present, traffic_route_ids, spawn_xy,
+                                 spawn_heading)
+    npc = npc_controller_update_fast(npc, paths_table, dt)
+    npc = npc_collisions_fast(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned

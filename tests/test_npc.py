@@ -112,3 +112,31 @@ def test_npc_slot_overflow_drops_spawn():
         state, out = step(state, jnp.zeros((1, 2)),
                           spawn=(jnp.asarray(True), jnp.int32((t * 7) % T)))
     assert int(np.asarray(state.npc.alive).sum()) <= 2
+
+
+def test_fast_mode_tracks_exact_mode():
+    """Fast (synchronous) NPC mode must closely track the exact sequential
+    mode for short horizons: same spawn/despawn decisions, near-identical
+    trajectories (divergence only via same-tick pose deltas)."""
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+
+    states = {}
+    for mode in ("exact", "fast"):
+        cfg = EnvConfig(num_agents=1, traffic_flow=True, max_npcs=8,
+                        npc_mode=mode)
+        env = IntersectionEnv(cfg)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        T = env.table.traffic_route_ids.shape[0]
+        for t in range(40):
+            state, out = step(state, jnp.zeros((1, 2)),
+                              spawn=(jnp.asarray(t % 8 == 0), jnp.int32((t * 5) % T)))
+        states[mode] = state
+
+    a, b = states["exact"], states["fast"]
+    assert np.array_equal(np.asarray(a.npc.alive), np.asarray(b.npc.alive))
+    am = np.asarray(a.npc.alive)
+    np.testing.assert_allclose(np.asarray(a.npc.x)[am], np.asarray(b.npc.x)[am],
+                               atol=2.0)
+    np.testing.assert_allclose(np.asarray(a.npc.y)[am], np.asarray(b.npc.y)[am],
+                               atol=2.0)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--agents", type=int, default=4)
     ap.add_argument("--traffic", action="store_true")
     ap.add_argument("--density", type=float, default=0.5)
+    ap.add_argument("--npc-mode", choices=["exact", "fast"], default="fast",
+                    help="NPC update semantics: bit-match sequential vs "
+                         "synchronous training-throughput mode")
+    ap.add_argument("--lidar-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--rollout-len", type=int, default=64)
     ap.add_argument("--model", choices=["mlp", "attention"], default="mlp")
@@ -55,7 +59,8 @@ def main():
 
     env = IntersectionEnv(EnvConfig(
         num_agents=args.agents, traffic_flow=args.traffic,
-        traffic_density=args.density, max_steps=2000))
+        traffic_density=args.density, max_steps=2000,
+        npc_mode=args.npc_mode, lidar_impl=args.lidar_impl))
     venv = VectorEnv(env, num_envs=args.num_envs)
     model = ActorCriticMLP() if args.model == "mlp" else SceneTransformerPolicy()
     learner = PPOLearner(venv, model, PPOConfig(rollout_len=args.rollout_len,
