@@ -68,7 +68,23 @@ class GymIntersectionEnv:
             max_steps=int(config.get("max_steps", 2000)),
             max_npcs=int(config.get("max_npcs", 32)),
         )
+        # backend: 'jax' (device engine) or 'native' (C++ host engine —
+        # microsecond per-step latency, like the reference's cpp_backend)
+        self.backend = str(config.get("backend", "jax"))
         self._core = IntersectionEnv(self._cfg, reward=reward)
+        self._reward = reward
+        self._native = None
+        if self.backend == "native":
+            from ..native import NativeEngine
+            r = reward
+            self._native = NativeEngine(
+                num_lanes=self.num_lanes, use_team=use_team,
+                respawn=self._cfg.respawn_enabled, max_steps=self._cfg.max_steps,
+                traffic=self.traffic_flow, density=self._cfg.traffic_density,
+                max_npcs=self._cfg.max_npcs, seed=int(config.get("seed", 0)),
+                reward=[float(r.k_prog), float(r.v_min_ms), float(r.k_stuck),
+                        float(r.k_cv), float(r.k_co), float(r.k_succ),
+                        float(r.k_sm), float(r.alpha)])
         self.lane_layout = self._core.table.layout
         self.points = self.lane_layout["points"]
 
@@ -95,11 +111,19 @@ class GymIntersectionEnv:
     def reset(self, seed: Optional[int] = None):
         if seed is not None:
             self._seed = seed
-        key = jax.random.PRNGKey(self._seed)
-        self._seed += 1
         rids = self._core.table.route_ids(self.ego_routes)
-        self._state, obs = self._core.reset(key, rids)
-        obs = np.asarray(obs)
+        if self._native is not None:
+            self._native.reset([int(r) for r in rids])
+            obs = np.zeros((self.num_agents, 127), np.float32)
+            # first obs: reset-time observation (all-max lidar), same contract
+            key = jax.random.PRNGKey(self._seed)
+            self._state, obs_j = self._core.reset(key, rids)
+            obs = np.asarray(obs_j)
+        else:
+            key = jax.random.PRNGKey(self._seed)
+            self._state, obs_j = self._core.reset(key, rids)
+            obs = np.asarray(obs_j)
+        self._seed += 1
         if self.traffic_flow:
             return obs[0], {}
         return obs, {}
@@ -115,24 +139,37 @@ class GymIntersectionEnv:
                 raise ValueError(
                     f"Expected actions shape (N,2) for multi-agent, got {actions.shape}")
 
-        self._state, out = self._jit_step(self._state, jnp.asarray(actions),
-                                          jnp.float32(dt))
-        obs = np.asarray(out.obs)
-        rewards = np.asarray(out.reward)
-        terminated = bool(out.terminated)
-        truncated = bool(out.truncated)
-        status = [STATUS_NAMES[int(s)] for s in np.asarray(out.status)]
-        done = [int(d) for d in np.asarray(out.done)]
+        if self._native is not None:
+            r = self._native.step(actions, dt=float(dt))
+            obs = r["obs"]
+            rewards = r["reward"]
+            terminated = r["terminated"]
+            truncated = r["truncated"]
+            status = [STATUS_NAMES[int(s)] for s in r["status"]]
+            done = [int(d) for d in r["done"]]
+            step_no = r["step"]
+            agents_alive = r["agents_alive"]
+        else:
+            self._state, out = self._jit_step(self._state, jnp.asarray(actions),
+                                              jnp.float32(dt))
+            obs = np.asarray(out.obs)
+            rewards = np.asarray(out.reward)
+            terminated = bool(out.terminated)
+            truncated = bool(out.truncated)
+            status = [STATUS_NAMES[int(s)] for s in np.asarray(out.status)]
+            done = [int(d) for d in np.asarray(out.done)]
+            step_no = int(out.step)
+            agents_alive = int(out.agents_alive)
 
         # agent ids are stable slot indices + 1 (reference ids start at 1,
         # IntersectionEnv.cpp:130; egos are never removed so they coincide)
         collisions = {i + 1: status[i] for i in range(self.num_agents)}
 
         info = {
-            "step": int(out.step),
+            "step": step_no,
             "rewards": rewards.tolist() if not self.traffic_flow else float(rewards[0]),
             "collisions": collisions,
-            "agents_alive": int(out.agents_alive),
+            "agents_alive": agents_alive,
             "terminated": terminated,
             "truncated": truncated,
             "done": done,
@@ -153,11 +190,29 @@ class GymIntersectionEnv:
         if self._renderer is None:
             from ..render.draw import Renderer
             self._renderer = Renderer(self._core)
-        frame = self._renderer.render(self._state, show_lane_ids=show_lane_ids,
+        state = self._native_state_view() if self._native is not None else self._state
+        frame = self._renderer.render(state, show_lane_ids=show_lane_ids,
                                       show_lidar=show_lidar)
         if self.render_mode == "human":
             self._renderer.show(frame)
         return frame
+
+    def _native_state_view(self):
+        """Minimal EnvState-shaped view over the native engine, for rendering."""
+        from types import SimpleNamespace
+
+        eg = self._native.egos()
+        npcs = self._native.npcs()
+        ego = SimpleNamespace(
+            x=eg[:, 0], y=eg[:, 1], heading=eg[:, 3],
+            route_id=self._core.table.route_ids(self.ego_routes),
+            path_index=eg[:, 5].astype(np.int32))
+        npc = SimpleNamespace(
+            alive=np.ones(len(npcs), bool), x=npcs[:, 0], y=npcs[:, 1],
+            heading=npcs[:, 3])
+        lidar = np.stack([self._native.lidar(i) for i in range(self.num_agents)]) \
+            if self.num_agents else np.zeros((0, 96), np.float32)
+        return SimpleNamespace(ego=ego, npc=npc, lidar=lidar)
 
     def close(self):
         if self._renderer is not None:

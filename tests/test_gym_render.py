@@ -56,3 +56,26 @@ def test_renderer_headless_frame():
     # road must be drawn (gray pixels present), cars colored
     assert (frame[375, 375] == np.array([60, 60, 60])).all() or frame[375, 375].std() < 60
     env.close()
+
+
+def test_gym_native_backend():
+    """backend='native' drives the C++ host engine with the same API + info."""
+    from marl_traffic_intersection_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native engine unavailable")
+    envs = {}
+    for backend in ("jax", "native"):
+        env = GymIntersectionEnv({"num_agents": 2, "backend": backend,
+                                  "render_mode": "rgb_array"})
+        obs, _ = env.reset()
+        for _ in range(50):
+            obs, rew, term, trunc, info = env.step(
+                np.full((2, 2), 0.4, np.float32))
+        envs[backend] = (obs, rew, info)
+        frame = env.render()
+        assert frame.shape == (750, 750, 3)
+    oj, rj, ij = envs["jax"]
+    on, rn, im = envs["native"]
+    np.testing.assert_allclose(oj[:, :31], on[:, :31], atol=5e-5, rtol=0)
+    np.testing.assert_allclose(rj, rn, atol=1e-4, rtol=0)
+    assert ij["status"] == im["status"]
