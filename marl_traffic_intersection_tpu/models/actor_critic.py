@@ -44,6 +44,10 @@ class ActorCriticMLP(nn.Module):
                          dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
         log_std = self.param("log_std", nn.initializers.zeros, (self.act_dim,),
                              jnp.float32)
+        # hard clamp: with tanh squashing the base-Gaussian entropy is
+        # unbounded in std, so an entropy bonus can blow log_std up without
+        # changing behavior (actions saturate) — cap it.
+        log_std = jnp.clip(log_std, -4.0, 0.5)
         return (mean.astype(jnp.float32), log_std,
                 jnp.squeeze(value, -1).astype(jnp.float32))
 

@@ -57,6 +57,7 @@ class Transition(NamedTuple):
     value: jnp.ndarray      # (B, N)
     reward: jnp.ndarray     # (B, N)
     ep_done: jnp.ndarray    # (B,) episode boundary (terminated|truncated)
+    status: jnp.ndarray     # (B, N) i32 per-agent STATUS_*
 
 
 class PPOLearner:
@@ -86,7 +87,8 @@ class PPOLearner:
             env_state2, out = self.env.step(env_state, action)
             tr = Transition(obs=obs, raw_action=raw, logp=logp, value=value,
                             reward=out.reward,
-                            ep_done=out.terminated | out.truncated)
+                            ep_done=out.terminated | out.truncated,
+                            status=out.status)
             return (env_state2, out.obs, key), tr
 
         (env_state, obs, key), traj = jax.lax.scan(
@@ -170,9 +172,16 @@ class PPOLearner:
                                                             obs, kr)
         advs, rets = self._gae(traj, last_value)
         ts, metrics = self._update(ts, traj, advs, rets, ku)
+        from ..core.constants import (STATUS_CRASH_CAR, STATUS_CRASH_LINE,
+                                      STATUS_CRASH_WALL, STATUS_SUCCESS)
+        st = traj.status
         metrics = dict(metrics,
                        mean_reward=traj.reward.mean(),
-                       mean_value=traj.value.mean())
+                       mean_value=traj.value.mean(),
+                       success_rate=(st == STATUS_SUCCESS).mean(),
+                       crash_rate=((st == STATUS_CRASH_CAR)
+                                   | (st == STATUS_CRASH_WALL)
+                                   | (st == STATUS_CRASH_LINE)).mean())
         return ts, env_state, obs, key, metrics
 
     def jit_train_step(self, mesh=None, model_kind: str = "mlp"):
