@@ -39,10 +39,16 @@ class VectorEnv:
             route_pool = np.unique(pool)
         self.route_pool = jnp.asarray(route_pool, jnp.int32)
 
-    # single-env reset (state only) with routes sampled from the pool
+    # single-env reset (state only) with routes sampled from the pool.
+    # Sampled WITHOUT replacement when the pool allows: duplicate routes mean
+    # identical spawn points -> agents overlap at spawn and crash-respawn-crash
+    # forever (the default route pool has one route per IN lane, so distinct
+    # routes guarantee distinct spawns).
     def _reset_state_one(self, key) -> EnvState:
         krt, kst = jax.random.split(key)
-        rids = jax.random.choice(krt, self.route_pool, (self.env.config.num_agents,))
+        n = self.env.config.num_agents
+        replace = self.route_pool.shape[0] < n
+        rids = jax.random.choice(krt, self.route_pool, (n,), replace=replace)
         return self.env.reset_state(kst, rids)
 
     def reset(self, key) -> Tuple[EnvState, jnp.ndarray]:

@@ -57,6 +57,7 @@ class Transition(NamedTuple):
     value: jnp.ndarray      # (B, N)
     reward: jnp.ndarray     # (B, N)
     ep_done: jnp.ndarray    # (B,) episode boundary (terminated|truncated)
+    agent_done: jnp.ndarray # (B, N) per-agent done (crash->respawn / success)
     status: jnp.ndarray     # (B, N) i32 per-agent STATUS_*
 
 
@@ -88,6 +89,7 @@ class PPOLearner:
             tr = Transition(obs=obs, raw_action=raw, logp=logp, value=value,
                             reward=out.reward,
                             ep_done=out.terminated | out.truncated,
+                            agent_done=out.done,
                             status=out.status)
             return (env_state2, out.obs, key), tr
 
@@ -99,19 +101,24 @@ class PPOLearner:
     # ---------------------------------------------------------------------- gae
     def _gae(self, traj: Transition, last_value):
         cfg = self.cfg
-        done_f = traj.ep_done[..., None].astype(jnp.float32)  # (T, B, 1)
+        # Value-bootstrap cuts at episode ends AND per-agent done events: a
+        # crash respawns the agent at its spawn (reference semantics), so the
+        # next state starts a new "life" — bootstrapping across it would
+        # credit the fresh spawn's value to the pre-crash action.
+        done = traj.ep_done[..., None] | traj.agent_done       # (T, B, N)
+        done_f = done.astype(jnp.float32)
 
         def back(carry, inp):
             gae, next_value = carry
-            reward, value, done = inp
-            nonterm = 1.0 - done
+            reward, value, d = inp
+            nonterm = 1.0 - d
             delta = reward + cfg.gamma * next_value * nonterm - value
             gae = delta + cfg.gamma * cfg.gae_lambda * nonterm * gae
             return (gae, value), gae
 
         (_, _), advs = jax.lax.scan(
             back, (jnp.zeros_like(last_value), last_value),
-            (traj.reward, traj.value, jnp.broadcast_to(done_f, traj.reward.shape)),
+            (traj.reward, traj.value, done_f),
             reverse=True)
         return advs, advs + traj.value
 

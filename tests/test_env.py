@@ -135,3 +135,56 @@ def test_truncation():
     for t in range(5):
         state, out = step(state, jnp.zeros((1, 2)))
     assert bool(out.truncated)
+
+
+@pytest.mark.oracle
+def test_two_lane_layout_lockstep():
+    """num_lanes=2 world: different road geometry, line mask and routes."""
+    from .oracle import oracle as O
+
+    cfg = EnvConfig(num_agents=2, num_lanes=2)
+    env = IntersectionEnv(cfg)
+    routes = [("IN_1", "OUT_3"), ("IN_6", "OUT_2")]
+    state, obs = env.reset(jax.random.PRNGKey(0), env.table.route_ids(routes))
+    step = jax.jit(env.step)
+    oenv = O.OracleEnv(num_lanes=2)
+    oenv.reset(routes)
+    np.testing.assert_allclose(np.asarray(obs), oenv.get_obs(), atol=2e-5, rtol=0)
+
+    rng = np.random.RandomState(21)
+    for t in range(250):
+        acts = _policy_random(t, rng, 2)
+        state, out = step(state, jnp.asarray(acts))
+        ref = oenv.step(acts)
+        assert [int(s) for s in np.asarray(out.status)] == list(ref["status"]), t
+        np.testing.assert_allclose(np.asarray(out.reward), ref["reward"],
+                                   atol=1e-4, rtol=0, err_msg=str(t))
+        np.testing.assert_allclose(np.asarray(out.obs)[:, :31],
+                                   ref["obs"][:, :31], atol=2e-5, rtol=0,
+                                   err_msg=str(t))
+
+
+@pytest.mark.oracle
+def test_variable_dt_substepping_lockstep():
+    """Real-time harnesses substep with varying dt (test.py:144-156); the dt
+    semantics (speed update only) must match under arbitrary dt sequences."""
+    from .oracle import oracle as O
+
+    env = IntersectionEnv(EnvConfig(num_agents=1))
+    routes = [("IN_1", "OUT_7")]
+    state, _ = env.reset(jax.random.PRNGKey(0), env.table.route_ids(routes))
+    step = jax.jit(env.step)
+    oenv = O.OracleEnv(num_lanes=3)
+    oenv.reset(routes)
+    rng = np.random.RandomState(31)
+    for t in range(200):
+        dt = np.float32(rng.uniform(0.001, 1.0 / 60.0))
+        acts = _policy_random(t, rng, 1)
+        state, out = step(state, jnp.asarray(acts), jnp.float32(dt))
+        ref = oenv.step(acts, dt=float(dt))
+        assert [int(s) for s in np.asarray(out.status)] == list(ref["status"]), t
+        np.testing.assert_allclose(np.asarray(out.reward), ref["reward"],
+                                   atol=1e-4, rtol=0, err_msg=str(t))
+        egos = oenv.egos()
+        np.testing.assert_allclose(np.asarray(state.ego.x), egos[:, 0],
+                                   atol=5e-3, rtol=0)
