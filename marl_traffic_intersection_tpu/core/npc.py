@@ -25,7 +25,7 @@ differential-test harness injects identical decisions into the C++ oracle.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import DT_DEFAULT
-from ..core.env import EnvConfig, EnvState, IntersectionEnv, RewardParams, StepOutput
+from ..core.env import EnvState, IntersectionEnv, StepOutput
 
 
 class VectorEnv:

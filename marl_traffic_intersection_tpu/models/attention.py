@@ -15,12 +15,8 @@ Compute in bfloat16, params float32.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.constants import LIDAR_RAYS, NEIGHBOR_COUNT
 

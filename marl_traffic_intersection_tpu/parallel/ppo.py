@@ -18,12 +18,10 @@ Every agent is treated as an independent decision-maker with a shared policy
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..envs.vector import VectorEnv

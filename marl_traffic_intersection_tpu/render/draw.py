@@ -8,8 +8,6 @@ host, draw an RGB frame. It reads state only — simulation stays on device.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..core.constants import (

@@ -17,7 +17,6 @@ import json
 import time
 
 import jax
-import numpy as np
 
 
 def main():
@@ -39,6 +38,11 @@ def main():
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="also save every K updates (fault tolerance)")
+    ap.add_argument("--resume", default=None,
+                    help="restore params/opt_state/update from a checkpoint")
+    ap.add_argument("--tb", default=None, help="TensorBoard log dir")
     args = ap.parse_args()
 
     if args.distributed:
@@ -66,15 +70,39 @@ def main():
     learner = PPOLearner(venv, model, PPOConfig(rollout_len=args.rollout_len,
                                                 lr=args.lr))
 
+    from marl_traffic_intersection_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
     ts = learner.init(jax.random.PRNGKey(args.seed))
+    start_update = 0
+    if args.resume:
+        ck = restore_checkpoint(args.resume)
+        ts = ts._replace(params=ck["params"], opt_state=ck.get("opt_state",
+                                                              ts.opt_state))
+        start_update = int(ck.get("update", 0))
+        if jax.process_index() == 0:
+            print(f"resumed from {args.resume} at update {start_update}")
+
     state, obs = venv.reset(jax.random.PRNGKey(args.seed + 1))
     step, shard_ts, shard_env = learner.jit_train_step(mesh, args.model)
     ts = shard_ts(ts)
     state, obs = shard_env(state, obs)
 
+    tb = None
+    if args.tb and jax.process_index() == 0:
+        from tensorboardX import SummaryWriter
+        tb = SummaryWriter(args.tb)
+
+    def save(u):
+        if args.checkpoint and jax.process_index() == 0:
+            save_checkpoint(args.checkpoint,
+                            {"params": ts.params, "opt_state": ts.opt_state,
+                             "update": u})
+            print(f"saved {args.checkpoint} @ update {u}")
+
     key = jax.random.PRNGKey(args.seed + 2)
     meter = StepsPerSecond(steps_per_tick=args.num_envs * args.rollout_len)
-    for u in range(args.updates):
+    for u in range(start_update, start_update + args.updates):
         t0 = time.perf_counter()
         ts, state, obs, key, metrics = step(ts, state, obs, key)
         jax.block_until_ready(metrics["pg_loss"])
@@ -84,11 +112,13 @@ def main():
             print(json.dumps({"update": u, "secs": round(time.perf_counter() - t0, 3),
                               "env_steps_per_s": round(meter.value, 1), **
                               {k: round(v, 5) for k, v in m.items()}}))
+            if tb is not None:
+                for k, v in m.items():
+                    tb.add_scalar(k, v, u)
+        if args.checkpoint_every and (u + 1) % args.checkpoint_every == 0:
+            save(u + 1)
 
-    if args.checkpoint and jax.process_index() == 0:
-        from marl_traffic_intersection_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.checkpoint, {"params": ts.params})
-        print(f"saved {args.checkpoint}")
+    save(start_update + args.updates)
 
 
 if __name__ == "__main__":
