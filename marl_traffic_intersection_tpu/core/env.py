@@ -110,10 +110,10 @@ class EnvConfig:
     lidar_impl: str = "xla"  # "xla" (fused jnp) | "pallas" (TPU kernel)
     npc_mode: str = "exact"  # "exact" (sequential, bit-match) | "fast" (sync)
 
-    def __post_init__(self):
-        if self.traffic_flow:
-            object.__setattr__(self, "num_agents", 1 if self.num_agents != 1 else 1)
-            object.__setattr__(self, "use_team_reward", False)
+    # NOTE: the reference *Python wrapper* forces single-agent + no team reward
+    # when traffic_flow is on (env.py:85-99); its C++ core supports multi-ego +
+    # traffic just fine (BASELINE config 4 requires it). That wrapper-level
+    # restriction lives in envs/gym.py, not here.
 
 
 class EgoState(NamedTuple):

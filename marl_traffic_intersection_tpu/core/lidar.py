@@ -55,16 +55,27 @@ _DISTS = (np.arange(LIDAR_SAMPLES, dtype=np.float32) * np.float32(LIDAR_STEP))  
 
 
 def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask,
-               num_lanes: int = 3):
+               num_lanes: int = 3, rays: int = LIDAR_RAYS,
+               fov_deg: float = LIDAR_FOV_DEG, max_dist: float = LIDAR_MAX_DIST,
+               step_size: float = LIDAR_STEP):
     """Scan one car against a masked obstacle set.
 
     self_*: scalars (vmap over agents/envs outside); obs_*: (M,) obstacle car
-    poses with obs_mask (M,) bool for present slots. Returns (LIDAR_RAYS,)
-    float32 distances (LIDAR_MAX_DIST where no hit).
+    poses with obs_mask (M,) bool for present slots. Returns (rays,) float32
+    distances (max_dist where no hit). Defaults are the env's 96-ray sensor;
+    pass rays=72 etc. for the reference's standalone Lidar defaults
+    (cpp/Lidar.h:10-14).
     """
     f32 = jnp.float32
-    rel = jnp.asarray(_REL_ANGLES)
-    dists = jnp.asarray(_DISTS)
+    if (rays, fov_deg, max_dist, step_size) == (LIDAR_RAYS, LIDAR_FOV_DEG,
+                                                LIDAR_MAX_DIST, LIDAR_STEP):
+        rel = jnp.asarray(_REL_ANGLES)
+        dists = jnp.asarray(_DISTS)
+    else:
+        rel = jnp.asarray(ray_rel_angles(rays, fov_deg))
+        nsamp = int(np.ceil(max_dist / step_size))
+        dists = jnp.asarray(np.arange(nsamp, dtype=np.float32)
+                            * np.float32(step_size))
 
     ray_angle = self_heading + rel                       # (R,)
     dx = jnp.cos(ray_angle)
@@ -112,11 +123,12 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     # sample index that is a hit (not-oob ∧ (road ∨ car)) vs the first that is
     # out-of-bounds. oob wins ties by construction (a hit sample requires
     # ~oob), so: hit iff first_hit < first_oob.
-    samp = jnp.arange(LIDAR_SAMPLES, dtype=jnp.int32)
-    big = jnp.int32(LIDAR_SAMPLES)
+    nsamp = dists.shape[0]
+    samp = jnp.arange(nsamp, dtype=jnp.int32)
+    big = jnp.int32(nsamp)
     hit_code = jnp.where(~oob & (road_hit | car_hit), samp[None, :], big)
     oob_code = jnp.where(oob, samp[None, :], big)
     first_hit = jnp.min(hit_code, axis=-1)                # (R,)
     first_oob = jnp.min(oob_code, axis=-1)
     hit = first_hit < first_oob
-    return jnp.where(hit, first_hit.astype(f32) * f32(LIDAR_STEP), f32(LIDAR_MAX_DIST))
+    return jnp.where(hit, first_hit.astype(f32) * f32(step_size), f32(max_dist))

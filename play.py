@@ -30,26 +30,20 @@ def all_routes(num_lanes: int):
 
 
 def scripted(env: GymIntersectionEnv, steps: int, out: str):
-    """Cruise along the route with a P-controller; dump a GIF."""
+    """Drive with the Stanley baseline controller (eval.py); dump a GIF."""
     from PIL import Image
+    from eval import scripted_policy
 
     frames = []
     obs, _ = env.reset()
     total = 0.0
     for t in range(steps):
-        # steer toward the lookahead target using obs[5] (theta_error/pi)
-        theta_err = float(obs[5] if obs.ndim == 1 else obs[0, 5])
-        act = np.array([0.5, np.clip(theta_err * 3.0, -1, 1)], np.float32)
-        if env.num_agents > 1:
-            acts = np.tile(act, (env.num_agents, 1))
-            for i in range(env.num_agents):
-                te = float(obs[i, 5])
-                acts[i, 1] = np.clip(te * 3.0, -1, 1)
-            obs, rew, term, trunc, info = env.step(acts)
-            total += float(np.sum(rew))
-        else:
-            obs, rew, term, trunc, info = env.step(act)
-            total += float(rew)
+        obs2 = obs if obs.ndim == 2 else obs[None]
+        acts = scripted_policy(obs2, env.state, env._core.table)
+        r = env.step(acts if env.num_agents > 1 and not env.traffic_flow
+                     else acts[0])
+        obs, rew, term, trunc, info = r
+        total += float(np.sum(rew))
         if t % 3 == 0:
             frames.append(Image.fromarray(env.render()))
         if term or trunc:

@@ -1,0 +1,165 @@
+"""Exact-match report vs the reference C++ sim: BASELINE configs 1-4.
+
+Runs long lockstep rollouts (JAX engine vs the unmodified reference compiled
+as the test oracle) and quantifies agreement per category. Writes one JSON
+line per config and a summary to EXACTNESS.md when --write is given.
+
+Categories:
+  discrete: status / done / terminated / truncated / agents_alive /
+            path_index / NPC fleet size+indices  -> % steps fully exact
+  float:    rewards, obs[0:31], ego positions    -> max abs deviation
+  lidar:    96 discrete ranges                   -> % readings exact,
+            worst deviation (multiples of the 4 px march step)
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+from tests.oracle import oracle as O
+
+CONFIGS = {
+    1: dict(routes=[("IN_6", "OUT_2")], traffic=False, team=False),
+    2: dict(routes=[("IN_6", "OUT_2")], traffic=True, density=0.5, team=False),
+    3: dict(routes=[("IN_6", "OUT_2"), ("IN_1", "OUT_7"), ("IN_4", "OUT_7")],
+            traffic=False, team=True),
+    4: dict(routes=[("IN_1", "OUT_7"), ("IN_2", "OUT_8"), ("IN_4", "OUT_7"),
+                    ("IN_5", "OUT_11"), ("IN_7", "OUT_1"), ("IN_8", "OUT_2"),
+                    ("IN_10", "OUT_1"), ("IN_11", "OUT_5")],
+            traffic=True, density=1.0, team=False),
+}
+
+
+def run_config(cid: int, steps: int, seed: int = 0):
+    c = CONFIGS[cid]
+    n = len(c["routes"])
+    cfg = EnvConfig(num_agents=n, traffic_flow=c["traffic"],
+                    traffic_density=c.get("density", 0.5),
+                    use_team_reward=c["team"], max_steps=10 ** 9)
+    env = IntersectionEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(seed), env.table.route_ids(c["routes"]))
+    step = jax.jit(env.step)
+    oenv = O.OracleEnv(num_lanes=3, use_team=c["team"], traffic=c["traffic"],
+                       max_steps=10 ** 9)
+    oenv.reset(c["routes"])
+
+    rng = np.random.RandomState(seed + 7)
+    T = env.table.traffic_route_ids.shape[0]
+    p_spawn = 1.0 - np.exp(-c.get("density", 0.5) / 60.0)
+
+    disc_exact = 0
+    lidar_exact = 0
+    lidar_total = 0
+    worst = dict(reward=0.0, obs=0.0, pos=0.0, lidar=0.0)
+    npc_steps = 0
+
+    for t in range(steps):
+        acts = np.stack([rng.choice([0.0, 0.5, 1.0, -0.5], n),
+                         np.clip(rng.normal(0, 0.4, n), -1, 1)], 1).astype(np.float32)
+        if c["traffic"]:
+            do_try = bool(rng.uniform() < p_spawn) or (t % 37 == 11)
+            rc = int(rng.randint(T))
+            if do_try:
+                oenv.force_spawn(rc)
+            state, out = step(state, jnp.asarray(acts),
+                              spawn=(jnp.asarray(do_try), jnp.int32(rc)))
+        else:
+            state, out = step(state, jnp.asarray(acts))
+        ref = oenv.step(acts)
+
+        ok = (
+            np.array_equal(np.asarray(out.status), ref["status"])
+            and np.array_equal(np.asarray(out.done).astype(np.int32), ref["done"])
+            and bool(out.terminated) == ref["terminated"]
+            and bool(out.truncated) == ref["truncated"]
+            and int(out.agents_alive) == ref["agents_alive"]
+        )
+        egos = oenv.egos()
+        ok &= np.array_equal(np.asarray(state.ego.path_index), egos[:, 5].astype(int))
+        if c["traffic"]:
+            refn = oenv.npcs()
+            alive = np.asarray(state.npc.alive)
+            uid = np.asarray(state.npc.uid)
+            idx = np.nonzero(alive)[0]
+            idx = idx[np.argsort(uid[idx])]
+            ok &= len(idx) == len(refn)
+            if len(idx) and len(idx) == len(refn):
+                npc_steps += 1
+                ok &= np.array_equal(np.asarray(state.npc.path_index)[idx],
+                                     refn[:, 5].astype(int))
+        disc_exact += int(bool(ok))
+
+        worst["reward"] = max(worst["reward"],
+                              float(np.abs(np.asarray(out.reward) - ref["reward"]).max()))
+        mo = np.asarray(out.obs)
+        worst["obs"] = max(worst["obs"],
+                           float(np.abs(mo[:, :31] - ref["obs"][:, :31]).max()))
+        worst["pos"] = max(worst["pos"], float(np.abs(
+            np.asarray(state.ego.x) - egos[:, 0]).max()))
+        ld = np.abs(mo[:, 31:] - ref["obs"][:, 31:])
+        lidar_exact += int((ld == 0).sum())
+        lidar_total += ld.size
+        worst["lidar"] = max(worst["lidar"], float(ld.max() * 250.0))
+
+    return dict(
+        config=cid, steps=steps,
+        discrete_exact_rate=round(disc_exact / steps, 6),
+        lidar_exact_rate=round(lidar_exact / lidar_total, 6),
+        steps_with_npcs=npc_steps,
+        worst_reward_diff=worst["reward"],
+        worst_obs_diff=worst["obs"],
+        worst_pos_diff_px=worst["pos"],
+        worst_lidar_diff_px=worst["lidar"],
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4])
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    results = []
+    for cid in args.configs:
+        r = run_config(cid, args.steps)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    if args.write:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "EXACTNESS.md"), "w") as f:
+            f.write("# Exact-match report vs the reference C++ sim\n\n")
+            f.write("Generated by `python scripts/exactness_report.py --steps "
+                    f"{args.steps} --write`. Lockstep rollouts with identical\n"
+                    "actions and injected spawn decisions (reference RNG is\n"
+                    "unseedable). 'Discrete exact' = statuses, done flags,\n"
+                    "termination, truncation, agents_alive, path indices and\n"
+                    "NPC fleets all bit-equal in a step.\n\n")
+            f.write("| config | steps | discrete exact | lidar readings exact | "
+                    "worst |reward| diff | worst obs diff | worst ego pos diff (px) | "
+                    "worst lidar diff (px) |\n|---|---|---|---|---|---|---|---|\n")
+            for r in results:
+                f.write(f"| {r['config']} | {r['steps']} | "
+                        f"{100*r['discrete_exact_rate']:.2f}% | "
+                        f"{100*r['lidar_exact_rate']:.4f}% | "
+                        f"{r['worst_reward_diff']:.2e} | {r['worst_obs_diff']:.2e} | "
+                        f"{r['worst_pos_diff_px']:.2e} | {r['worst_lidar_diff_px']:.0f} |\n")
+            f.write("\nfloat32 trig ulp differences between XLA and libm shift "
+                    "an occasional lidar sample across an int-cast pixel "
+                    "boundary (one 4 px march step); everything else tracks at "
+                    "float32 rounding noise.\n")
+
+
+if __name__ == "__main__":
+    main()

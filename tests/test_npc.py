@@ -24,13 +24,14 @@ def _npc_sorted(state):
 
 
 def _run_traffic_lockstep(density, num_steps, seed=0, policy_throttle=0.5,
-                          pos_atol=5e-3):
+                          pos_atol=5e-3, routes=None):
     from .oracle import oracle as O
 
-    cfg = EnvConfig(num_agents=1, traffic_flow=True, traffic_density=density,
-                    max_steps=4000)
+    if routes is None:
+        routes = [("IN_6", "OUT_2")]
+    cfg = EnvConfig(num_agents=len(routes), traffic_flow=True,
+                    traffic_density=density, max_steps=4000)
     env = IntersectionEnv(cfg)
-    routes = [("IN_6", "OUT_2")]
     state, obs = env.reset(jax.random.PRNGKey(seed), env.table.route_ids(routes))
     step = jax.jit(env.step)
 
@@ -49,7 +50,8 @@ def _run_traffic_lockstep(density, num_steps, seed=0, policy_throttle=0.5,
         route_choice = int(rng.randint(T))
         if do_try:
             oenv.force_spawn(route_choice)
-        acts = np.array([[policy_throttle, 0.0]], np.float32)
+        acts = np.tile(np.array([[policy_throttle, 0.0]], np.float32),
+                       (len(routes), 1))
         state, out = step(state, jnp.asarray(acts),
                           spawn=(jnp.asarray(do_try), jnp.int32(route_choice)))
         ref = oenv.step(acts)
@@ -140,3 +142,15 @@ def test_fast_mode_tracks_exact_mode():
                                atol=2.0)
     np.testing.assert_allclose(np.asarray(a.npc.y)[am], np.asarray(b.npc.y)[am],
                                atol=2.0)
+
+
+@pytest.mark.oracle
+def test_config4_eight_agents_dense_traffic():
+    """BASELINE config 4 proper: 8 egos + dense traffic in one world (the
+    reference C++ core supports it even though its Python wrapper forces
+    single-agent under traffic)."""
+    routes = [("IN_1", "OUT_7"), ("IN_2", "OUT_8"), ("IN_4", "OUT_7"),
+              ("IN_5", "OUT_11"), ("IN_7", "OUT_1"), ("IN_8", "OUT_2"),
+              ("IN_10", "OUT_1"), ("IN_11", "OUT_5")]
+    steps_with_npcs = _run_traffic_lockstep(1.0, 300, seed=13, routes=routes)
+    assert steps_with_npcs > 30
