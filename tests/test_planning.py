@@ -1,0 +1,67 @@
+"""Snapshot-planning (MPC) and determinism tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+from marl_traffic_intersection_tpu.algos.mcts import random_shooting_plan
+
+
+def test_random_shooting_planner_beats_random():
+    """Planned actions must make more progress than random ones, and planning
+    must not mutate the snapshot (value semantics)."""
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=4000))
+    rid = env.table.route_ids([("IN_1", "OUT_7")])  # straight route
+    state, _ = env.reset(jax.random.PRNGKey(0), rid)
+    snap_leaves = [np.asarray(x).copy() for x in jax.tree.leaves(state)]
+
+    plan = jax.jit(lambda s, k: random_shooting_plan(
+        env, s, k, num_candidates=64, horizon=12))
+    step = jax.jit(env.step)
+
+    key = jax.random.PRNGKey(1)
+    total_plan = 0.0
+    st = state
+    for t in range(40):
+        key, kp = jax.random.split(key)
+        act, ret = plan(st, kp)
+        st, out = step(st, act[None].reshape(1, 2))
+        total_plan += float(out.reward.sum())
+
+    # snapshot unchanged by planning
+    for a, b in zip(snap_leaves, jax.tree.leaves(state)):
+        assert np.array_equal(a, np.asarray(b))
+
+    rng = np.random.RandomState(0)
+    total_rand = 0.0
+    st = state
+    for t in range(40):
+        act = jnp.asarray(rng.uniform(-1, 1, (1, 2)), jnp.float32)
+        st, out = step(st, act)
+        total_rand += float(out.reward.sum())
+
+    assert total_plan > total_rand + 0.1, (total_plan, total_rand)
+
+
+def test_rollout_determinism_across_compilations():
+    """Same key + same state => bitwise-identical batched rollouts, across two
+    independently-jitted step functions (the 'race detection' analogue: the
+    engine is deterministic by construction)."""
+    from marl_traffic_intersection_tpu.envs.vector import VectorEnv
+
+    env = IntersectionEnv(EnvConfig(num_agents=2, traffic_flow=True,
+                                    traffic_density=5.0, max_npcs=8))
+    venv = VectorEnv(env, num_envs=4)
+    state, obs = jax.jit(venv.reset)(jax.random.PRNGKey(3))
+
+    results = []
+    for _ in range(2):
+        step = jax.jit(venv.step)  # fresh compilation each time
+        st = state
+        for t in range(20):
+            st, out = step(st, jnp.full((4, 2, 2), 0.3, jnp.float32))
+        results.append([np.asarray(x) for x in jax.tree.leaves(st)])
+
+    for a, b in zip(*results):
+        assert np.array_equal(a, b)
