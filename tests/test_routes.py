@@ -97,3 +97,27 @@ def test_spawn_heading_vs_oracle():
         ego = env.egos()[0]
         assert abs(float(t.spawn_heading[rid]) - float(ego[3])) <= 2e-7
         assert (float(t.spawn_xy[rid, 0]), float(t.spawn_xy[rid, 1])) == (float(ego[0]), float(ego[1]))
+
+
+def test_all_routes_step_smoke():
+    """Every one of the 144 route ids resets and steps without NaNs and with
+    sane geometry (spawn on-road, heading finite)."""
+    import jax
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.core.geometry import is_on_road
+
+    env = IntersectionEnv(EnvConfig(num_agents=1))
+    t = env.table
+    assert np.isfinite(t.paths).all()
+    assert np.isfinite(t.spawn_heading).all()
+    on = np.asarray(is_on_road(t.spawn_xy[:, 0], t.spawn_xy[:, 1]))
+    assert on.all()
+
+    # batch all 144 routes as one vmapped reset+step
+    rids = jnp.arange(t.paths.shape[0], dtype=jnp.int32)[:, None]  # (144, 1)
+    keys = jax.random.split(jax.random.PRNGKey(0), t.paths.shape[0])
+    states = jax.vmap(lambda k, r: env.reset_state(k, r))(keys, rids)
+    st2, out = jax.vmap(lambda s: env.step(s, jnp.full((1, 2), 0.5)))(states)
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert np.isfinite(np.asarray(out.reward)).all()

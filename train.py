@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--model", choices=["mlp", "attention"], default="mlp")
     ap.add_argument("--tp", type=int, default=1, help="model-axis size")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--ent-coef", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
@@ -68,7 +69,8 @@ def main():
     venv = VectorEnv(env, num_envs=args.num_envs)
     model = ActorCriticMLP() if args.model == "mlp" else SceneTransformerPolicy()
     learner = PPOLearner(venv, model, PPOConfig(rollout_len=args.rollout_len,
-                                                lr=args.lr))
+                                                lr=args.lr,
+                                                ent_coef=args.ent_coef))
 
     from marl_traffic_intersection_tpu.utils.checkpoint import (
         restore_checkpoint, save_checkpoint)
