@@ -53,3 +53,37 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_train_state_checkpoint_resume_structure(tmp_path):
+    """Full TrainState (params + optax opt_state) must survive a checkpoint
+    round-trip with structure intact (regression: orbax returns plain dicts
+    without a template, breaking adam state access on resume)."""
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.envs.vector import VectorEnv
+    from marl_traffic_intersection_tpu.models import ActorCriticMLP
+    from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
+    from marl_traffic_intersection_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=16))
+    venv = VectorEnv(env, num_envs=2)
+    learner = PPOLearner(venv, ActorCriticMLP(hidden=(32, 32)),
+                         PPOConfig(rollout_len=4, num_minibatches=2,
+                                   update_epochs=1))
+    ts = learner.init(jax.random.PRNGKey(0))
+    state, obs = venv.reset(jax.random.PRNGKey(1))
+    step = jax.jit(learner.train_step)
+    ts, state, obs, key, _ = step(ts, state, obs, jax.random.PRNGKey(2))
+
+    path = str(tmp_path / "ts")
+    save_checkpoint(path, {"params": ts.params, "opt_state": ts.opt_state,
+                           "update": 1})
+    template = {"params": jax.device_get(ts.params),
+                "opt_state": jax.device_get(ts.opt_state), "update": 0}
+    ck = restore_checkpoint(path, template=template)
+    ts2 = ts._replace(params=ck["params"], opt_state=ck["opt_state"])
+    # structures must match and a further train step must run
+    assert jax.tree.structure(ts2.opt_state) == jax.tree.structure(ts.opt_state)
+    step(ts2, state, obs, key)

@@ -78,9 +78,12 @@ def main():
     ts = learner.init(jax.random.PRNGKey(args.seed))
     start_update = 0
     if args.resume:
-        ck = restore_checkpoint(args.resume)
-        ts = ts._replace(params=ck["params"], opt_state=ck.get("opt_state",
-                                                              ts.opt_state))
+        # restore against a live template so optax NamedTuple states keep
+        # their structure (orbax returns plain containers otherwise)
+        template = {"params": jax.device_get(ts.params),
+                    "opt_state": jax.device_get(ts.opt_state), "update": 0}
+        ck = restore_checkpoint(args.resume, template=template)
+        ts = ts._replace(params=ck["params"], opt_state=ck["opt_state"])
         start_update = int(ck.get("update", 0))
         if jax.process_index() == 0:
             print(f"resumed from {args.resume} at update {start_update}")
