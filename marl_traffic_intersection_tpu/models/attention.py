@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.constants import LIDAR_RAYS, NEIGHBOR_COUNT
 
@@ -92,8 +93,12 @@ class SceneTransformerPolicy(nn.Module):
                         kernel_init=nn.initializers.orthogonal(0.01),
                         name="pi_mean")(pooled)
         value = nn.Dense(1, dtype=dt, param_dtype=jnp.float32, name="vf")(pooled)
-        log_std = self.param("log_std", nn.initializers.zeros, (self.act_dim,),
-                             jnp.float32)
+        # smoothly-bounded log_std (see actor_critic.py rationale)
+        lo, hi = -4.0, 0.5
+        raw_init = float(np.arctanh(2.0 * (0.0 - lo) / (hi - lo) - 1.0))
+        raw = self.param("log_std", nn.initializers.constant(raw_init),
+                         (self.act_dim,), jnp.float32)
+        log_std = lo + 0.5 * (hi - lo) * (jnp.tanh(raw) + 1.0)
 
         mean = mean.astype(jnp.float32).reshape(*batch, self.act_dim)
         value = jnp.squeeze(value, -1).astype(jnp.float32).reshape(*batch)
