@@ -87,3 +87,34 @@ def test_train_state_checkpoint_resume_structure(tmp_path):
     # structures must match and a further train step must run
     assert jax.tree.structure(ts2.opt_state) == jax.tree.structure(ts.opt_state)
     step(ts2, state, obs, key)
+
+
+def test_shipped_policy_artifact_solves_config1():
+    """The committed checkpoint must solve config 1 deterministically."""
+    import pathlib
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
+    from marl_traffic_intersection_tpu.models import ActorCriticMLP
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_mlp_cfg1"
+    if not art.exists():
+        pytest.skip("no artifact")
+    params = restore_checkpoint(str(art))["params"]
+    model = ActorCriticMLP()
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
+    state, obs = env.reset(jax.random.PRNGKey(7),
+                           env.table.route_ids([("IN_6", "OUT_2")]))
+    step = jax.jit(env.step)
+    fwd = jax.jit(model.apply)
+    for t in range(400):
+        mean, _, _ = fwd(params, obs)
+        state, out = step(state, jnp.tanh(mean))
+        obs = out.obs
+        if bool(out.terminated):
+            break
+    assert bool(out.terminated), "did not finish the route"
+    assert int(out.status[0]) == STATUS_SUCCESS
+    assert t < 200, t
