@@ -42,6 +42,7 @@ from .constants import (
     NEIGHBOR_COUNT,
     OBS_DIM,
     PATH_LEN,
+    PI_F,
     PHYSICS_MAX_SPEED,
     SCALE,
     STATUS_ALIVE,
@@ -55,11 +56,12 @@ from .constants import (
 from .geometry import hits_yellow_line, is_line_pixel, is_on_road
 from .lidar import lidar_scan
 from .npc import NpcState, init_npc_state, npc_traffic_update, spawn_decision
-from .physics import car_corners, car_physics_step, sat_overlap, update_path_index, wrap_angle
+from .physics import (car_corners, car_physics_step, gather_rows_matmul,
+                      sat_overlap, update_path_index, wrap_angle)
 from .routes import RouteTable, build_route_table, default_ego_routes
 
 _F = jnp.float32
-_PI32 = np.float32(3.14159265358979323846)
+_PI32 = np.float32(PI_F)
 
 
 class RewardParams(NamedTuple):
@@ -152,16 +154,6 @@ class StepOutput(NamedTuple):
     agents_alive: jnp.ndarray    # () i32
     step: jnp.ndarray            # () i32
     spawned: jnp.ndarray         # () bool — NPC spawn happened this tick
-
-
-def _gather_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row-gather as a one-hot matmul: TPU gathers of table rows are slow,
-    while a (..., R) x (R, D) contraction rides the MXU. table: (R, ...)."""
-    r = table.shape[0]
-    flat = table.reshape(r, -1)
-    oh = jax.nn.one_hot(idx, r, dtype=flat.dtype)
-    out = oh @ flat
-    return out.reshape(idx.shape + table.shape[1:])
 
 
 class IntersectionEnv:
@@ -263,7 +255,9 @@ class IntersectionEnv:
                 npc, paths, goal_xy,
                 jnp.asarray(self._spawn_xy), jnp.asarray(self._spawn_heading),
                 jnp.asarray(self._traffic_ids),
-                ego.x, ego.y, ego.alive | True,  # all egos block spawns
+                ego.x, ego.y, jnp.ones_like(ego.alive),  # ALL egos block spawns
+                # (reference checks every car regardless of life state,
+                #  TrafficFlow.cpp:245-250)
                 do_try, route_choice, dt,
             )
 
@@ -279,11 +273,11 @@ class IntersectionEnv:
         steering = jnp.where(alive, ph.steering_angle, ego.steering_angle)
         acc = ph.acc  # recomputed every tick; only used by the smooth term
 
-        ego_paths = _gather_rows_matmul(paths, ego.route_id)  # (N, P, 2)
+        ego_paths = gather_rows_matmul(paths, ego.route_id)  # (N, P, 2)
         pi = update_path_index(ego_paths, PATH_LEN, ego.path_index, x, y)
         pi = jnp.where(alive, pi, ego.path_index)
 
-        aux = _gather_rows_matmul(jnp.asarray(self._aux), ego.route_id)  # (N, 8)
+        aux = gather_rows_matmul(jnp.asarray(self._aux), ego.route_id)  # (N, 8)
         goal = aux[:, 0:2]                                # (N, 2)
         cur_dist = jnp.hypot(x - goal[:, 0], y - goal[:, 1])
         max_prog = np.float32(np.hypot(np.float32(WIDTH), np.float32(HEIGHT)))
@@ -411,8 +405,8 @@ class IntersectionEnv:
         else:
             ox, oy, oh, om = x, y, heading, jnp.ones((n,), bool)
         if cfg.lidar_impl == "pallas":
-            from ..ops.lidar_pallas import lidar_batch
-            scan = lidar_batch(x, y, heading, ox, oy, oh, om)
+            from ..ops.lidar_pallas import make_lidar_batch
+            scan = make_lidar_batch(cfg.num_lanes)(x, y, heading, ox, oy, oh, om)
         else:
             scan = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om,
                                                        cfg.num_lanes))(x, y, heading)
@@ -451,7 +445,7 @@ class IntersectionEnv:
         ], axis=-1)
 
         tgt_idx = jnp.minimum(ego.path_index + 10, PATH_LEN - 1)
-        ego_paths = _gather_rows_matmul(paths, ego.route_id)
+        ego_paths = gather_rows_matmul(paths, ego.route_id)
         # one-hot contraction instead of a dynamic gather (slow on TPU)
         onehot = (jnp.arange(PATH_LEN, dtype=jnp.int32) == tgt_idx[:, None])
         tx = jnp.sum(jnp.where(onehot, ego_paths[..., 0], _F(0.0)), axis=-1)

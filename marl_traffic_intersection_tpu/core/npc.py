@@ -38,12 +38,13 @@ from .constants import (
     LANE_WIDTH_PX,
     PATH_LEN,
     PHYSICS_MAX_SPEED,
+    PI_F,
     WIDTH,
 )
 from .physics import car_physics_step, car_corners, sat_overlap, update_path_index, wrap_angle
 
 _F = jnp.float32
-_PI32 = np.float32(3.14159265358979323846)
+_PI32 = np.float32(PI_F)
 _DEG45 = np.float32(45.0) * _PI32 / np.float32(180.0)
 _DEG60 = np.float32(60.0) * _PI32 / np.float32(180.0)
 _DEG30 = np.float32(30.0) * _PI32 / np.float32(180.0)
@@ -339,9 +340,8 @@ def npc_controller_update_fast(npc: NpcState, paths_table, dt) -> NpcState:
     slots = jnp.arange(max_npcs, dtype=jnp.int32)
 
     # one-hot matmul row fetch (TPU gathers of table rows are slow)
-    r = paths_table.shape[0]
-    oh = jax.nn.one_hot(npc.route_id, r, dtype=paths_table.dtype)
-    paths = (oh @ paths_table.reshape(r, -1)).reshape(max_npcs, PATH_LEN, 2)
+    from .physics import gather_rows_matmul
+    paths = gather_rows_matmul(paths_table, npc.route_id)
     pi0 = update_path_index(paths, PATH_LEN, npc.path_index, npc.x, npc.y)
 
     def plan_one(slot, pi, path):

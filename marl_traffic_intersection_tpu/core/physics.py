@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,10 +30,11 @@ from .constants import (
     MAX_ACC,
     MAX_STEERING_ANGLE,
     PHYSICS_MAX_SPEED,
+    PI_F,
     WHEELBASE,
 )
 
-_PI = np.float32(np.pi)
+_PI = np.float32(PI_F)
 _TWO_PI = np.float32(2.0) * _PI
 
 
@@ -151,3 +153,13 @@ def update_path_index(path, path_len, path_index, x, y, search_range: int = 50):
     d = jnp.where(in_window, d, jnp.inf)
     # first-minimum over the window == reference's ascending strict-< scan
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def gather_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather as a one-hot matmul: TPU gathers of table rows are slow,
+    while a (..., R) x (R, D) contraction rides the MXU. table: (R, ...)."""
+    r = table.shape[0]
+    flat = table.reshape(r, -1)
+    oh = jax.nn.one_hot(idx, r, dtype=flat.dtype)
+    out = oh @ flat
+    return out.reshape(idx.shape + table.shape[1:])

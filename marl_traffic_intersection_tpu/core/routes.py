@@ -154,7 +154,8 @@ def _project_to_box(pt: Tuple[float, float], num_lanes: int) -> Tuple[float, flo
     return (cx + tb, y)
 
 
-_PI_F32 = np.float32(3.14159265358979323846)  # f32-rounded pi, as the C++ PI_F literal
+from .constants import PI_F as _PI_F64
+_PI_F32 = np.float32(_PI_F64)  # f32-rounded pi, as the C++ PI_F literal
 
 
 def _cos32(theta32: np.ndarray) -> np.ndarray:

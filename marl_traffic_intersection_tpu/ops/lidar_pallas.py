@@ -156,20 +156,35 @@ def lidar_scan_pallas(sx, sy, sh, ox, oy, oh, om, num_lanes: int = 3,
 # whole env batch dispatches into one pallas_call instead of per-env kernels.
 from jax import custom_batching
 
-
-@custom_batching.custom_vmap
-def lidar_batch(x, y, h, ox, oy, oh, om):
-    """(N,) self poses + (M,) obstacles -> (N, RAYS); pallas, batch-aware."""
-    out = lidar_scan_pallas(x[None], y[None], h[None], ox[None], oy[None],
-                            oh[None], om[None], block_b=1)
-    return out[0]
+_LIDAR_BATCH_CACHE = {}
 
 
-@lidar_batch.def_vmap
-def _lidar_batch_rule(axis_size, in_batched, x, y, h, ox, oy, oh, om):
-    def ensure(v, batched):
-        return v if batched else jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+def make_lidar_batch(num_lanes: int = 3):
+    """Per-num_lanes factory for the batch-aware pallas lidar callable."""
+    if num_lanes in _LIDAR_BATCH_CACHE:
+        return _LIDAR_BATCH_CACHE[num_lanes]
 
-    x, y, h, ox, oy, oh, om = (
-        ensure(v, b) for v, b in zip((x, y, h, ox, oy, oh, om), in_batched))
-    return lidar_scan_pallas(x, y, h, ox, oy, oh, om), True
+    @custom_batching.custom_vmap
+    def lidar_batch_fn(x, y, h, ox, oy, oh, om):
+        """(N,) self poses + (M,) obstacles -> (N, RAYS); pallas, batch-aware."""
+        out = lidar_scan_pallas(x[None], y[None], h[None], ox[None], oy[None],
+                                oh[None], om[None], num_lanes=num_lanes,
+                                block_b=1)
+        return out[0]
+
+    @lidar_batch_fn.def_vmap
+    def _rule(axis_size, in_batched, x, y, h, ox, oy, oh, om):
+        def ensure(v, batched):
+            return v if batched else jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+
+        x, y, h, ox, oy, oh, om = (
+            ensure(v, b) for v, b in zip((x, y, h, ox, oy, oh, om), in_batched))
+        return lidar_scan_pallas(x, y, h, ox, oy, oh, om,
+                                 num_lanes=num_lanes), True
+
+    _LIDAR_BATCH_CACHE[num_lanes] = lidar_batch_fn
+    return lidar_batch_fn
+
+
+def lidar_batch(x, y, h, ox, oy, oh, om, num_lanes: int = 3):
+    return make_lidar_batch(num_lanes)(x, y, h, ox, oy, oh, om)

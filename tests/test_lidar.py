@@ -82,3 +82,31 @@ def test_lidar_self_exclusion_vs_oracle():
     # and the near-duplicate within 1e-3 is excluded -> same as no obstacles
     ref_empty = O.lidar(3, pose, np.zeros((0, 3), np.float32))
     assert np.array_equal(ref, ref_empty)
+
+
+def test_pallas_lidar_respects_num_lanes():
+    """Regression: the pallas env path must use the configured lane count
+    (a 2-lane world has road half-width 84px, not 126px)."""
+    from marl_traffic_intersection_tpu.ops.lidar_pallas import make_lidar_batch
+
+    x = jnp.asarray([375.0]); y = jnp.asarray([375.0]); h = jnp.asarray([0.0])
+    om = jnp.zeros((1,), bool)
+    with __import__('jax').disable_jit():
+        pass
+    outs = {}
+    for lanes in (2, 3):
+        ref = lidar_scan(x[0], y[0], h[0], x, y, h, om, num_lanes=lanes)
+        import functools
+        fn = make_lidar_batch(lanes)
+        # interpret mode on CPU
+        from marl_traffic_intersection_tpu.ops import lidar_pallas as LP
+        got = LP.lidar_scan_pallas(x[None], y[None], h[None], x[None], y[None],
+                                   h[None], om[None], num_lanes=lanes,
+                                   block_b=1, interpret=True)[0]
+        # eager-jnp vs interpret-pallas can flip a ray landing exactly on a
+        # pixel boundary by one 4px march step (same class of diff tolerated
+        # vs the C++ oracle) — require near-total agreement
+        d = np.abs(np.asarray(got) - np.asarray(ref))
+        assert (d > 4.0).sum() == 0 and (d > 0).sum() <= 2, (lanes, d.max())
+        outs[lanes] = np.asarray(ref)
+    assert not np.array_equal(outs[2], outs[3])  # geometries genuinely differ
