@@ -20,6 +20,13 @@ import numpy as np
 
 def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int) -> float:
     import jax
+
+    # persistent compile cache: the single-chip tunnel's compile latency is
+    # highly variable (seconds to minutes); cache hits make reruns immune
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
     from marl_traffic_intersection_tpu.envs.vector import VectorEnv
