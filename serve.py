@@ -1,0 +1,108 @@
+"""Policy inference server: batch observations in, actions out.
+
+Minimal production-serving surface for trained policies (stdlib HTTP, no extra
+deps): a jitted forward pass with a fixed max batch (pad-and-slice, so one
+compiled program serves any request size).
+
+  python serve.py --checkpoint artifacts/policy_mlp_cfg1 --port 8787
+  curl -X POST localhost:8787/act -d '{"obs": [[...127 floats...]]}'
+    -> {"actions": [[throttle, steer], ...]}
+  GET /healthz -> {"ok": true, ...}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
+                deterministic: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from marl_traffic_intersection_tpu.models import (ActorCriticMLP,
+                                                      SceneTransformerPolicy)
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    model = ActorCriticMLP() if model_kind == "mlp" else SceneTransformerPolicy()
+    params = restore_checkpoint(checkpoint)["params"]
+
+    @jax.jit
+    def fwd(obs):
+        mean, log_std, value = model.apply(params, obs)
+        return jnp.tanh(mean), value
+
+    # warm up the fixed-shape program
+    fwd(jnp.zeros((max_batch, 127), jnp.float32))
+
+    def act(obs: np.ndarray) -> np.ndarray:
+        n = obs.shape[0]
+        if n > max_batch:
+            return np.concatenate([act(obs[i:i + max_batch])
+                                   for i in range(0, n, max_batch)])
+        padded = np.zeros((max_batch, 127), np.float32)
+        padded[:n] = obs
+        actions, _ = fwd(padded)
+        return np.asarray(actions)[:n]
+
+    return act
+
+
+class Handler(BaseHTTPRequestHandler):
+    act = None  # set by serve()
+    served = 0
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True, "served": Handler.served})
+        else:
+            self._reply(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/act":
+            return self._reply(404, {"error": "unknown path"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            obs = np.asarray(req["obs"], np.float32)
+            if obs.ndim == 1:
+                obs = obs[None]
+            if obs.ndim != 2 or obs.shape[1] != 127:
+                return self._reply(400, {"error": f"obs must be (N, 127), got {list(obs.shape)}"})
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            return self._reply(400, {"error": f"bad request: {e}"})
+        actions = Handler.act(obs)
+        Handler.served += obs.shape[0]
+        self._reply(200, {"actions": actions.tolist()})
+
+
+def serve(checkpoint: str, port: int, model_kind: str = "mlp",
+          max_batch: int = 256):
+    Handler.act = staticmethod(make_policy(checkpoint, model_kind, max_batch))
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    print(f"serving policy on :{port} (max_batch={max_batch})", flush=True)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--model", choices=["mlp", "attention"], default="mlp")
+    ap.add_argument("--max-batch", type=int, default=256)
+    args = ap.parse_args()
+    serve(args.checkpoint, args.port, args.model, args.max_batch)
