@@ -18,7 +18,9 @@ import time
 import numpy as np
 
 
-def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int) -> float:
+def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int,
+              traffic: bool = False, npc_mode: str = "fast",
+              density: float = 1.0) -> float:
     import jax
 
     # persistent compile cache: the single-chip tunnel's compile latency is
@@ -31,7 +33,9 @@ def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int) -> float:
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
     from marl_traffic_intersection_tpu.envs.vector import VectorEnv
 
-    env = IntersectionEnv(EnvConfig(num_agents=num_agents, max_steps=10 ** 9))
+    env = IntersectionEnv(EnvConfig(
+        num_agents=num_agents, max_steps=10 ** 9, traffic_flow=traffic,
+        traffic_density=density, npc_mode=npc_mode))
     venv = VectorEnv(env, num_envs=num_envs, auto_reset=True)
     state, obs = jax.jit(venv.reset)(jax.random.PRNGKey(0))
 
@@ -77,20 +81,53 @@ def bench_reference(num_agents: int, steps: int = 5000) -> float:
     return steps / (time.perf_counter() - t0)
 
 
+def bench_reference_traffic(density: float, steps: int = 2000) -> float:
+    """Reference C++ env steps/s with NPC traffic flow enabled."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.oracle import oracle as O
+
+    env = O.OracleEnv(num_lanes=3, max_steps=10 ** 9, traffic=True)
+    # OracleEnv pins density to 0 for deterministic injection tests; for
+    # throughput timing we want the reference's own Poisson spawning.
+    env._lib.env_configure_traffic(env._h, 1, float(density))
+    env.reset([("IN_6", "OUT_2")])
+    acts = np.zeros((1, 2), np.float32)
+    env.step(acts)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        env.step(acts)
+    return steps / (time.perf_counter() - t0)
+
+
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    num_agents = int(os.environ.get("BENCH_NUM_AGENTS", 4))
+    mode = os.environ.get("BENCH_MODE", "default")
+    traffic = mode == "traffic"
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1024 if traffic else 4096))
+    num_agents = int(os.environ.get("BENCH_NUM_AGENTS", 1 if traffic else 4))
     iters = int(os.environ.get("BENCH_ITERS", 5))
     inner = int(os.environ.get("BENCH_INNER", 20))
 
-    value = bench_tpu(num_envs, num_agents, iters, inner)
-
-    try:
-        ref = bench_reference(num_agents)
-    except Exception:
-        ref = 60.0  # reference real-time design rate fallback
+    if traffic:
+        npc_mode = os.environ.get("BENCH_NPC_MODE", "fast")
+        density = float(os.environ.get("BENCH_DENSITY", 1.0))
+        value = bench_tpu(num_envs, num_agents, iters, inner,
+                          traffic=True, npc_mode=npc_mode, density=density)
+        try:
+            ref = bench_reference_traffic(density)
+        except Exception:
+            ref = 60.0
+        metric = (f"traffic-mode env-steps/s/chip ({num_envs} envs, "
+                  f"density {density}, npc_mode={npc_mode})")
+    else:
+        value = bench_tpu(num_envs, num_agents, iters, inner)
+        try:
+            ref = bench_reference(num_agents)
+        except Exception:
+            ref = 60.0  # reference real-time design rate fallback
+        metric = (f"batched env-steps/s/chip ({num_envs} envs x {num_agents} "
+                  f"agents, lidar on)")
     print(json.dumps({
-        "metric": f"batched env-steps/s/chip ({num_envs} envs x {num_agents} agents, lidar on)",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(value / ref, 2),

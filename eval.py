@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--max-steps", type=int, default=2000)
     ap.add_argument("--policy", choices=["scripted", "random", "checkpoint"],
                     default="scripted")
+    ap.add_argument("--model", choices=["mlp", "attention", "conv"],
+                    default="mlp", help="model family of --checkpoint")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -101,9 +103,9 @@ def main():
 
     model = params = None
     if args.policy == "checkpoint":
-        from marl_traffic_intersection_tpu.models import ActorCriticMLP
+        from marl_traffic_intersection_tpu.models import make_model
         from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-        model = ActorCriticMLP()
+        model = make_model(args.model)
         params = restore_checkpoint(args.checkpoint)["params"]
 
     rng = np.random.RandomState(args.seed)

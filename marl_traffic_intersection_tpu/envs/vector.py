@@ -57,6 +57,18 @@ class VectorEnv:
         state = jax.vmap(self._reset_state_one)(keys)
         return state, jax.vmap(self.env.observe)(state)
 
+    def jit_step(self, dt=DT_DEFAULT, donate: bool = True):
+        """Jitted per-call step for eager driving loops.
+
+        Donating the state argument lets XLA update the (large, B-leading)
+        EnvState buffers in place instead of copying them in and out each
+        call — the dominant cost of the non-scan path (PERF.md). The caller
+        must not reuse the state object passed in (the usual
+        ``state, out = step(state, actions)`` pattern is safe).
+        """
+        fn = partial(self.step, dt=dt)
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
     def step(self, state: EnvState, actions, dt=DT_DEFAULT
              ) -> Tuple[EnvState, StepOutput]:
         """Batched step; actions (B, N, 2). Auto-resets finished envs."""

@@ -1,6 +1,23 @@
 """Policy/value model families for the intersection MARL task."""
 from .actor_critic import ActorCriticMLP, sample_action, logp_and_entropy
 from .attention import SceneTransformerPolicy
+from .conv import LidarConvPolicy
 
-__all__ = ["ActorCriticMLP", "SceneTransformerPolicy", "sample_action",
-           "logp_and_entropy"]
+MODEL_FAMILIES = {
+    "mlp": ActorCriticMLP,
+    "attention": SceneTransformerPolicy,
+    "conv": LidarConvPolicy,
+}
+
+
+def make_model(kind: str):
+    """Instantiate a model family by name ('mlp' | 'attention' | 'conv')."""
+    try:
+        return MODEL_FAMILIES[kind]()
+    except KeyError:
+        raise ValueError(f"unknown model family {kind!r}; "
+                         f"choose from {sorted(MODEL_FAMILIES)}") from None
+
+
+__all__ = ["ActorCriticMLP", "SceneTransformerPolicy", "LidarConvPolicy",
+           "MODEL_FAMILIES", "make_model", "sample_action", "logp_and_entropy"]

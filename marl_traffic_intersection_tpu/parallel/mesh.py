@@ -71,9 +71,20 @@ def _transformer_rule(path: str) -> P:
     return P()
 
 
+def _conv_rule(path: str) -> P:
+    """LidarConvPolicy: the wide fused layer column-sharded (the ray convs are
+    tiny and stay replicated); XLA inserts the psum at the head contraction."""
+    if "fuse" in path:
+        return P(None, "model") if path.endswith("kernel") else P("model")
+    return P()
+
+
+_RULES = {"mlp": _mlp_rule, "attention": _transformer_rule, "conv": _conv_rule}
+
+
 def param_shardings(mesh: Mesh, params, model_kind: str = "mlp"):
     """NamedSharding tree for a params pytree under the given mesh."""
-    rule = _mlp_rule if model_kind == "mlp" else _transformer_rule
+    rule = _RULES.get(model_kind, _mlp_rule)
 
     def assign(path, leaf):
         pstr = "/".join(str(getattr(p, "key", p)) for p in path)

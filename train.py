@@ -3,12 +3,18 @@
 Examples:
   python train.py --num-envs 4096 --agents 4 --updates 50
   python train.py --model attention --tp 2
+  # curriculum: easy -> hard stages, params carried across stages
+  python train.py --agents 4 --curriculum "agents=1@40;agents=2@40;agents=4@80"
+  python train.py --traffic --curriculum "density=0.2@50;density=1.0@100"
   # multi-host (one process per host; jax.distributed picks up cluster env):
   python train.py --distributed --num-envs 32768
 
 The env batch is sharded over the mesh 'data' axis; each host only touches its
 addressable shard. Gradients sync through XLA collectives inserted by the
-sharded loss reduction (see parallel/mesh.py docstring).
+sharded loss reduction (see parallel/mesh.py docstring). A curriculum stage
+re-jits the train step (env shapes change) but the policy/optimizer state is
+carried through — parameter shapes are config-independent since the policy is
+agent-shared over a fixed 127-d observation contract.
 """
 from __future__ import annotations
 
@@ -17,6 +23,41 @@ import json
 import time
 
 import jax
+
+
+def parse_curriculum(spec: str) -> list:
+    """'key=val[,key=val]@updates;...' -> [(overrides dict, updates)].
+
+    Supported keys: agents, density, traffic, ent_coef, lr, rollout_len.
+    """
+    stages = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        body, _, upd = part.rpartition("@")
+        if not body:
+            raise ValueError(f"curriculum stage needs 'key=val@updates': {part!r}")
+        overrides = {}
+        for kv in body.split(","):
+            k, _, v = kv.partition("=")
+            k = k.strip().replace("-", "_")
+            if k == "agents":
+                overrides["agents"] = int(v)
+            elif k == "density":
+                overrides["density"] = float(v)
+            elif k == "traffic":
+                overrides["traffic"] = v.strip() in ("1", "true", "True")
+            elif k == "ent_coef":
+                overrides["ent_coef"] = float(v)
+            elif k == "lr":
+                overrides["lr"] = float(v)
+            elif k == "rollout_len":
+                overrides["rollout_len"] = int(v)
+            else:
+                raise ValueError(f"unknown curriculum key {k!r}")
+        stages.append((overrides, int(upd)))
+    return stages
 
 
 def main():
@@ -31,10 +72,17 @@ def main():
     ap.add_argument("--lidar-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--rollout-len", type=int, default=64)
-    ap.add_argument("--model", choices=["mlp", "attention"], default="mlp")
+    ap.add_argument("--model", choices=["mlp", "attention", "conv"],
+                    default="mlp")
     ap.add_argument("--tp", type=int, default=1, help="model-axis size")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--ent-coef", type=float, default=0.01)
+    ap.add_argument("--norm-reward", action="store_true",
+                    help="running discounted-return reward normalization")
+    ap.add_argument("--curriculum", default=None,
+                    help="staged training: 'key=val[,k=v]@updates;...' "
+                         "(keys: agents, density, traffic, ent_coef, lr, "
+                         "rollout_len); --updates is ignored when set")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
@@ -50,11 +98,13 @@ def main():
         jax.distributed.initialize()
 
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.envs.normalize import RewardNormVecEnv
     from marl_traffic_intersection_tpu.envs.vector import VectorEnv
-    from marl_traffic_intersection_tpu.models import (ActorCriticMLP,
-                                                      SceneTransformerPolicy)
+    from marl_traffic_intersection_tpu.models import make_model
     from marl_traffic_intersection_tpu.parallel.mesh import make_mesh
     from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
+    from marl_traffic_intersection_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
     from marl_traffic_intersection_tpu.utils.profiling import StepsPerSecond
 
     n_dev = len(jax.devices())
@@ -62,68 +112,93 @@ def main():
     if jax.process_index() == 0:
         print(f"devices={n_dev} mesh={dict(mesh.shape)}")
 
-    env = IntersectionEnv(EnvConfig(
-        num_agents=args.agents, traffic_flow=args.traffic,
-        traffic_density=args.density, max_steps=2000,
-        npc_mode=args.npc_mode, lidar_impl=args.lidar_impl))
-    venv = VectorEnv(env, num_envs=args.num_envs)
-    model = ActorCriticMLP() if args.model == "mlp" else SceneTransformerPolicy()
-    learner = PPOLearner(venv, model, PPOConfig(rollout_len=args.rollout_len,
-                                                lr=args.lr,
-                                                ent_coef=args.ent_coef))
+    if args.curriculum:
+        stages = parse_curriculum(args.curriculum)
+    else:
+        stages = [({}, args.updates)]
 
-    from marl_traffic_intersection_tpu.utils.checkpoint import (
-        restore_checkpoint, save_checkpoint)
-
-    ts = learner.init(jax.random.PRNGKey(args.seed))
+    model = make_model(args.model)
+    ts = None
     start_update = 0
-    if args.resume:
-        # restore against a live template so optax NamedTuple states keep
-        # their structure (orbax returns plain containers otherwise)
-        template = {"params": jax.device_get(ts.params),
-                    "opt_state": jax.device_get(ts.opt_state), "update": 0}
-        ck = restore_checkpoint(args.resume, template=template)
-        ts = ts._replace(params=ck["params"], opt_state=ck["opt_state"])
-        start_update = int(ck.get("update", 0))
-        if jax.process_index() == 0:
-            print(f"resumed from {args.resume} at update {start_update}")
+    key = jax.random.PRNGKey(args.seed + 2)
 
-    state, obs = venv.reset(jax.random.PRNGKey(args.seed + 1))
-    step, shard_ts, shard_env = learner.jit_train_step(mesh, args.model)
-    ts = shard_ts(ts)
-    state, obs = shard_env(state, obs)
-
-    tb = None
-    if args.tb and jax.process_index() == 0:
-        from tensorboardX import SummaryWriter
-        tb = SummaryWriter(args.tb)
-
-    def save(u):
+    def save(u, ts):
         if args.checkpoint and jax.process_index() == 0:
             save_checkpoint(args.checkpoint,
                             {"params": ts.params, "opt_state": ts.opt_state,
                              "update": u})
             print(f"saved {args.checkpoint} @ update {u}")
 
-    key = jax.random.PRNGKey(args.seed + 2)
-    meter = StepsPerSecond(steps_per_tick=args.num_envs * args.rollout_len)
-    for u in range(start_update, start_update + args.updates):
-        t0 = time.perf_counter()
-        ts, state, obs, key, metrics = step(ts, state, obs, key)
-        jax.block_until_ready(metrics["pg_loss"])
-        meter.tick()
-        if jax.process_index() == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            print(json.dumps({"update": u, "secs": round(time.perf_counter() - t0, 3),
-                              "env_steps_per_s": round(meter.value, 1), **
-                              {k: round(v, 5) for k, v in m.items()}}))
-            if tb is not None:
-                for k, v in m.items():
-                    tb.add_scalar(k, v, u)
-        if args.checkpoint_every and (u + 1) % args.checkpoint_every == 0:
-            save(u + 1)
+    tb = None
+    if args.tb and jax.process_index() == 0:
+        from tensorboardX import SummaryWriter
+        tb = SummaryWriter(args.tb)
 
-    save(start_update + args.updates)
+    for stage_idx, (ov, updates) in enumerate(stages):
+        agents = ov.get("agents", args.agents)
+        density = ov.get("density", args.density)
+        traffic = ov.get("traffic", args.traffic)
+        ent_coef = ov.get("ent_coef", args.ent_coef)
+        lr = ov.get("lr", args.lr)
+        rollout_len = ov.get("rollout_len", args.rollout_len)
+
+        env = IntersectionEnv(EnvConfig(
+            num_agents=agents, traffic_flow=traffic,
+            traffic_density=density, max_steps=2000,
+            npc_mode=args.npc_mode, lidar_impl=args.lidar_impl))
+        venv = VectorEnv(env, num_envs=args.num_envs)
+        if args.norm_reward:
+            venv = RewardNormVecEnv(venv)
+        learner = PPOLearner(venv, model, PPOConfig(
+            rollout_len=rollout_len, lr=lr, ent_coef=ent_coef))
+
+        if ts is None:
+            ts = learner.init(jax.random.PRNGKey(args.seed))
+            if args.resume:
+                # restore against a live template so optax NamedTuple states
+                # keep their structure (orbax returns plain containers)
+                template = {"params": jax.device_get(ts.params),
+                            "opt_state": jax.device_get(ts.opt_state),
+                            "update": 0}
+                ck = restore_checkpoint(args.resume, template=template)
+                ts = ts._replace(params=ck["params"],
+                                 opt_state=ck["opt_state"])
+                start_update = int(ck.get("update", 0))
+                if jax.process_index() == 0:
+                    print(f"resumed from {args.resume} "
+                          f"at update {start_update}")
+
+        if jax.process_index() == 0 and len(stages) > 1:
+            print(json.dumps({"stage": stage_idx, "agents": agents,
+                              "traffic": traffic, "density": density,
+                              "ent_coef": ent_coef, "lr": lr,
+                              "updates": updates}))
+
+        state, obs = venv.reset(jax.random.PRNGKey(args.seed + 1 + stage_idx))
+        step, shard_ts, shard_env = learner.jit_train_step(mesh, args.model)
+        ts = shard_ts(ts)
+        state, obs = shard_env(state, obs)
+
+        meter = StepsPerSecond(steps_per_tick=args.num_envs * rollout_len)
+        for u in range(start_update, start_update + updates):
+            t0 = time.perf_counter()
+            ts, state, obs, key, metrics = step(ts, state, obs, key)
+            jax.block_until_ready(metrics["pg_loss"])
+            meter.tick()
+            if jax.process_index() == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(json.dumps({
+                    "update": u, "secs": round(time.perf_counter() - t0, 3),
+                    "env_steps_per_s": round(meter.value, 1),
+                    **{k: round(v, 5) for k, v in m.items()}}))
+                if tb is not None:
+                    for k, v in m.items():
+                        tb.add_scalar(k, v, u)
+            if args.checkpoint_every and (u + 1) % args.checkpoint_every == 0:
+                save(u + 1, ts)
+        start_update += updates
+
+    save(start_update, ts)
 
 
 if __name__ == "__main__":
