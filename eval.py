@@ -81,7 +81,7 @@ def main():
     ap.add_argument("--max-steps", type=int, default=2000)
     ap.add_argument("--policy", choices=["scripted", "random", "checkpoint"],
                     default="scripted")
-    ap.add_argument("--model", choices=["mlp", "attention", "conv"],
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
                     default="mlp", help="model family of --checkpoint")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -109,15 +109,23 @@ def main():
         params = restore_checkpoint(args.checkpoint)["params"]
 
     rng = np.random.RandomState(args.seed)
-    stats = dict(success=0, crash_car=0, crash_obj=0, steps=[], reward=[])
+    stats = dict(success=0, crash_car=0, crash_obj=0, steps=[], reward=[],
+                 agents_succeeded=0)
     for ep in range(args.episodes):
         state, obs = env.reset(jax.random.PRNGKey(args.seed + ep), rids)
+        if args.model == "gru" and model is not None:
+            h = model.initial_hidden(cfg.num_agents)
+        prev_st = np.zeros(cfg.num_agents, np.int32)
+        ever_succ = np.zeros(cfg.num_agents, bool)
         total = 0.0
         for t in range(args.max_steps):
             if args.policy == "scripted":
                 acts = scripted_policy(np.asarray(obs), state, env.table)
             elif args.policy == "random":
                 acts = rng.uniform(-1, 1, (cfg.num_agents, 2)).astype(np.float32)
+            elif args.model == "gru":
+                mean, log_std, _, h = model.apply(params, obs, h)
+                acts = np.tanh(np.asarray(mean))
             else:
                 mean, log_std, _ = model.apply(params, obs)
                 acts = np.tanh(np.asarray(mean))
@@ -125,20 +133,29 @@ def main():
             obs = out.obs
             total += float(np.asarray(out.reward).sum())
             st = np.asarray(out.status)
-            stats["success"] += int(((st == STATUS_SUCCESS)).sum())
+            # count EVENTS (transitions into a status), not per-step samples:
+            # SUCCESS persists while an agent waits for the others, and a
+            # respawned agent can succeed again — each completion counts once
+            succ_now = st == STATUS_SUCCESS
+            stats["success"] += int((succ_now & (prev_st != STATUS_SUCCESS)).sum())
+            ever_succ |= succ_now
             stats["crash_car"] += int((st == STATUS_CRASH_CAR).sum())
             stats["crash_obj"] += int(((st == STATUS_CRASH_WALL)
                                        | (st == STATUS_CRASH_LINE)).sum())
+            prev_st = st
             if bool(out.terminated) or bool(out.truncated):
                 break
         stats["steps"].append(t + 1)
         stats["reward"].append(total)
+        stats["agents_succeeded"] += int(ever_succ.sum())
 
     print(json.dumps({
         "config": args.config,
         "episodes": args.episodes,
         "policy": args.policy,
         "successes": stats["success"],
+        "agents_succeeded_frac": stats["agents_succeeded"]
+        / (args.episodes * cfg.num_agents),
         "crashes_vehicle": stats["crash_car"],
         "crashes_object": stats["crash_obj"],
         "mean_ep_len": float(np.mean(stats["steps"])),

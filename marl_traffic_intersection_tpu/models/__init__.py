@@ -2,11 +2,13 @@
 from .actor_critic import ActorCriticMLP, sample_action, logp_and_entropy
 from .attention import SceneTransformerPolicy
 from .conv import LidarConvPolicy
+from .recurrent import RecurrentActorCritic
 
 MODEL_FAMILIES = {
     "mlp": ActorCriticMLP,
     "attention": SceneTransformerPolicy,
     "conv": LidarConvPolicy,
+    "gru": RecurrentActorCritic,  # recurrent: needs RecurrentPPOLearner
 }
 
 
@@ -20,4 +22,5 @@ def make_model(kind: str):
 
 
 __all__ = ["ActorCriticMLP", "SceneTransformerPolicy", "LidarConvPolicy",
-           "MODEL_FAMILIES", "make_model", "sample_action", "logp_and_entropy"]
+           "RecurrentActorCritic", "MODEL_FAMILIES", "make_model",
+           "sample_action", "logp_and_entropy"]

@@ -29,6 +29,39 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_hybrid_mesh(n_model: int = 1, devices: Optional[Sequence] = None
+                     ) -> Mesh:
+    """Multi-slice mesh for pods connected over DCN: axes
+    ``('replica', 'data', 'model')`` where ``replica`` spans slices (DCN) and
+    ``data``/``model`` stay inside a slice (ICI).
+
+    Env stepping is embarrassingly parallel (zero communication), so the only
+    DCN traffic is the once-per-update gradient psum over the loss reduction —
+    a few hundred KB for these model families — which DCN absorbs trivially:
+    shard the env batch over ``('replica', 'data')`` jointly and scaling
+    across slices is linear. Falls back to a single-slice ``(data, model)``
+    mesh (with a size-1 replica axis) when the runtime exposes no slice
+    topology (CPU, single slice).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    n_slices = max(len(slice_ids), 1)
+    per_slice = len(devices) // n_slices
+    if n_slices > 1:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_slice // n_model, n_model),
+            dcn_mesh_shape=(n_slices, 1, 1), devices=devices)
+        return Mesh(arr, ("replica", "data", "model"))
+    arr = np.asarray(devices).reshape(1, len(devices) // n_model, n_model)
+    return Mesh(arr, ("replica", "data", "model"))
+
+
+def hybrid_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Env-batch sharding over both the DCN replica and ICI data axes."""
+    return NamedSharding(mesh, P(("replica", "data")))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over the data axis (env batch)."""
     return NamedSharding(mesh, P("data"))
@@ -79,7 +112,16 @@ def _conv_rule(path: str) -> P:
     return P()
 
 
-_RULES = {"mlp": _mlp_rule, "attention": _transformer_rule, "conv": _conv_rule}
+def _gru_rule(path: str) -> P:
+    """RecurrentActorCritic: the input torso column-sharded; the GRU cell and
+    heads replicated (the recurrent carry must stay whole per device)."""
+    if "torso_0" in path:
+        return P(None, "model") if path.endswith("kernel") else P("model")
+    return P()
+
+
+_RULES = {"mlp": _mlp_rule, "attention": _transformer_rule, "conv": _conv_rule,
+          "gru": _gru_rule}
 
 
 def param_shardings(mesh: Mesh, params, model_kind: str = "mlp"):

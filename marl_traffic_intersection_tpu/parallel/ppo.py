@@ -194,12 +194,15 @@ class PPOLearner:
         'data', params on 'model' per param_shardings."""
         if mesh is None:
             return jax.jit(self.train_step)
-        from .mesh import data_sharding, param_shardings, replicate
+        from .mesh import (data_sharding, hybrid_data_sharding,
+                           param_shardings, replicate)
 
         def fn(ts, env_state, obs, key):
             return self.train_step(ts, env_state, obs, key)
 
-        dsh = data_sharding(mesh)
+        # multi-slice hybrid mesh: batch spans the DCN replica axis too
+        dsh = hybrid_data_sharding(mesh) if "replica" in mesh.axis_names \
+            else data_sharding(mesh)
         rep = replicate(mesh)
 
         def shard_ts(ts):

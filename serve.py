@@ -20,33 +20,60 @@ import numpy as np
 
 def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
                 deterministic: bool = True):
+    """Returns act(obs, h=None) -> (actions, h_new_or_None).
+
+    The recurrent (gru) family is served stateless-server / stateful-client:
+    the client holds its hidden state and sends it back with each request
+    (scales to any number of concurrent control sessions without server-side
+    session affinity).
+    """
     import jax
     import jax.numpy as jnp
 
-    from marl_traffic_intersection_tpu.models import (ActorCriticMLP,
-                                                      SceneTransformerPolicy)
+    from marl_traffic_intersection_tpu.models import make_model
     from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
 
-    model = ActorCriticMLP() if model_kind == "mlp" else SceneTransformerPolicy()
+    model = make_model(model_kind)
     params = restore_checkpoint(checkpoint)["params"]
+    recurrent = model_kind == "gru"
+    h_dim = model.gru if recurrent else 0
 
-    @jax.jit
-    def fwd(obs):
-        mean, log_std, value = model.apply(params, obs)
-        return jnp.tanh(mean), value
+    if recurrent:
+        @jax.jit
+        def fwd(obs, h):
+            mean, log_std, value, h2 = model.apply(params, obs, h)
+            return jnp.tanh(mean), h2
 
-    # warm up the fixed-shape program
-    fwd(jnp.zeros((max_batch, 127), jnp.float32))
+        fwd(jnp.zeros((max_batch, 127), jnp.float32),
+            jnp.zeros((max_batch, h_dim), jnp.float32))
+    else:
+        @jax.jit
+        def fwd(obs):
+            mean, log_std, value = model.apply(params, obs)
+            return jnp.tanh(mean), value
 
-    def act(obs: np.ndarray) -> np.ndarray:
+        # warm up the fixed-shape program
+        fwd(jnp.zeros((max_batch, 127), jnp.float32))
+
+    def act(obs: np.ndarray, h: np.ndarray = None):
         n = obs.shape[0]
         if n > max_batch:
-            return np.concatenate([act(obs[i:i + max_batch])
-                                   for i in range(0, n, max_batch)])
+            parts = [act(obs[i:i + max_batch],
+                         None if h is None else h[i:i + max_batch])
+                     for i in range(0, n, max_batch)]
+            acts = np.concatenate([p[0] for p in parts])
+            hs = np.concatenate([p[1] for p in parts]) if recurrent else None
+            return acts, hs
         padded = np.zeros((max_batch, 127), np.float32)
         padded[:n] = obs
+        if recurrent:
+            hp = np.zeros((max_batch, h_dim), np.float32)
+            if h is not None:
+                hp[:n] = h
+            actions, h2 = fwd(padded, hp)
+            return np.asarray(actions)[:n], np.asarray(h2)[:n]
         actions, _ = fwd(padded)
-        return np.asarray(actions)[:n]
+        return np.asarray(actions)[:n], None
 
     return act
 
@@ -83,11 +110,17 @@ class Handler(BaseHTTPRequestHandler):
                 obs = obs[None]
             if obs.ndim != 2 or obs.shape[1] != 127:
                 return self._reply(400, {"error": f"obs must be (N, 127), got {list(obs.shape)}"})
+            h = req.get("h")
+            if h is not None:
+                h = np.asarray(h, np.float32)
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": f"bad request: {e}"})
-        actions = Handler.act(obs)
+        actions, h_new = Handler.act(obs, h)
         Handler.served += obs.shape[0]
-        self._reply(200, {"actions": actions.tolist()})
+        payload = {"actions": actions.tolist()}
+        if h_new is not None:  # recurrent family: client carries its state
+            payload["h"] = h_new.tolist()
+        self._reply(200, payload)
 
 
 def serve(checkpoint: str, port: int, model_kind: str = "mlp",
@@ -102,7 +135,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--port", type=int, default=8787)
-    ap.add_argument("--model", choices=["mlp", "attention"], default="mlp")
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
+                    default="mlp")
     ap.add_argument("--max-batch", type=int, default=256)
     args = ap.parse_args()
     serve(args.checkpoint, args.port, args.model, args.max_batch)

@@ -66,6 +66,44 @@ def test_act_bad_shape_400(server):
         assert "127" in json.loads(e.read())["error"]
 
 
+def test_recurrent_serving_roundtrip(tmp_path):
+    """gru family: client-held hidden state round-trips through /act."""
+    import jax
+
+    import serve as S
+    from http.server import ThreadingHTTPServer
+
+    from marl_traffic_intersection_tpu.models import RecurrentActorCritic
+    from marl_traffic_intersection_tpu.utils.checkpoint import save_checkpoint
+
+    model = RecurrentActorCritic()  # make_policy builds the default sizes
+    import jax.numpy as jnp
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 127)),
+                        model.initial_hidden(1))
+    save_checkpoint(str(tmp_path / "gru_ckpt"), {"params": params,
+                                                 "opt_state": {}, "update": 0})
+
+    port = _free_port()
+    S.Handler.act = staticmethod(
+        S.make_policy(str(tmp_path / "gru_ckpt"), "gru", max_batch=8))
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), S.Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        obs = np.random.RandomState(0).uniform(
+            0, 1, (2, 127)).astype(np.float32).tolist()
+        out1 = _post(port, {"obs": obs})                 # no h -> zeros
+        assert np.asarray(out1["actions"]).shape == (2, 2)
+        h1 = out1["h"]
+        assert np.asarray(h1).shape == (2, model.gru)
+        out2 = _post(port, {"obs": obs, "h": h1})        # state carried
+        # the carried hidden state evolves (memory round-trips)
+        assert not np.allclose(np.asarray(h1), np.asarray(out2["h"]))
+        assert np.all(np.abs(np.asarray(out2["actions"])) <= 1.0)
+    finally:
+        httpd.shutdown()
+
+
 def test_healthz(server):
     with urllib.request.urlopen(f"http://127.0.0.1:{server}/healthz",
                                 timeout=10) as r:

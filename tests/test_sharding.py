@@ -8,7 +8,8 @@ from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
 from marl_traffic_intersection_tpu.envs.vector import VectorEnv
 from marl_traffic_intersection_tpu.models import ActorCriticMLP
 from marl_traffic_intersection_tpu.parallel.mesh import (
-    data_sharding, make_mesh, param_shardings, shard_batch_tree)
+    data_sharding, make_hybrid_mesh, make_mesh, param_shardings,
+    shard_batch_tree)
 from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -51,6 +52,29 @@ def test_tp_param_shardings():
     out_b = jax.jit(model.apply)(params, obs)
     np.testing.assert_allclose(np.asarray(out_a[0]), np.asarray(out_b[0]),
                                atol=1e-5)
+
+
+def test_hybrid_mesh_train_step():
+    """3-axis (replica, data, model) hybrid mesh: on CPU there is a single
+    'slice', so the replica axis is size 1, but the full multi-slice sharding
+    path (batch over ('replica','data')) compiles and runs."""
+    mesh = make_hybrid_mesh(n_model=2)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert mesh.shape["replica"] == 1 and mesh.shape["data"] == 4
+
+    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=32))
+    venv = VectorEnv(env, num_envs=8)
+    learner = PPOLearner(venv, ActorCriticMLP(hidden=(128, 128)),
+                         PPOConfig(rollout_len=8, num_minibatches=2,
+                                   update_epochs=1))
+    ts = learner.init(jax.random.PRNGKey(0))
+    state, obs = venv.reset(jax.random.PRNGKey(1))
+
+    step, shard_ts, shard_env = learner.jit_train_step(mesh, "mlp")
+    ts = shard_ts(ts)
+    state, obs = shard_env(state, obs)
+    ts, state, obs, key, metrics = step(ts, state, obs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["pg_loss"]))
 
 
 def test_full_train_step_dp_tp():

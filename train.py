@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--lidar-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--rollout-len", type=int, default=64)
-    ap.add_argument("--model", choices=["mlp", "attention", "conv"],
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
                     default="mlp")
     ap.add_argument("--tp", type=int, default=1, help="model-axis size")
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -103,6 +103,8 @@ def main():
     from marl_traffic_intersection_tpu.models import make_model
     from marl_traffic_intersection_tpu.parallel.mesh import make_mesh
     from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
+    from marl_traffic_intersection_tpu.parallel.recurrent_ppo import (
+        RecurrentPPOLearner)
     from marl_traffic_intersection_tpu.utils.checkpoint import (
         restore_checkpoint, save_checkpoint)
     from marl_traffic_intersection_tpu.utils.profiling import StepsPerSecond
@@ -149,7 +151,8 @@ def main():
         venv = VectorEnv(env, num_envs=args.num_envs)
         if args.norm_reward:
             venv = RewardNormVecEnv(venv)
-        learner = PPOLearner(venv, model, PPOConfig(
+        learner_cls = RecurrentPPOLearner if args.model == "gru" else PPOLearner
+        learner = learner_cls(venv, model, PPOConfig(
             rollout_len=rollout_len, lr=lr, ent_coef=ent_coef))
 
         if ts is None:
@@ -177,12 +180,19 @@ def main():
         state, obs = venv.reset(jax.random.PRNGKey(args.seed + 1 + stage_idx))
         step, shard_ts, shard_env = learner.jit_train_step(mesh, args.model)
         ts = shard_ts(ts)
-        state, obs = shard_env(state, obs)
+        recurrent = args.model == "gru"
+        if recurrent:
+            state, obs, h = shard_env(state, obs, learner.initial_hidden())
+        else:
+            state, obs = shard_env(state, obs)
 
         meter = StepsPerSecond(steps_per_tick=args.num_envs * rollout_len)
         for u in range(start_update, start_update + updates):
             t0 = time.perf_counter()
-            ts, state, obs, key, metrics = step(ts, state, obs, key)
+            if recurrent:
+                ts, state, obs, h, key, metrics = step(ts, state, obs, h, key)
+            else:
+                ts, state, obs, key, metrics = step(ts, state, obs, key)
             jax.block_until_ready(metrics["pg_loss"])
             meter.tick()
             if jax.process_index() == 0:
