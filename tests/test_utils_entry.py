@@ -118,3 +118,52 @@ def test_shipped_policy_artifact_solves_config1():
     assert bool(out.terminated), "did not finish the route"
     assert int(out.status[0]) == STATUS_SUCCESS
     assert t < 200, t
+
+
+def test_shipped_multiagent_artifact_solves_config1_and_runs_config4():
+    """The collision-tuned checkpoint must keep solving config 1; on a short
+    config-4 (8 egos + traffic) horizon it must complete routes."""
+    import pathlib
+    import numpy as np
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
+    from marl_traffic_intersection_tpu.core.routes import default_ego_routes
+    from marl_traffic_intersection_tpu.models import ActorCriticMLP
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_mlp_multi"
+    if not art.exists():
+        pytest.skip("no artifact")
+    params = restore_checkpoint(str(art))["params"]
+    model = ActorCriticMLP()
+    fwd = jax.jit(model.apply)
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
+    state, obs = env.reset(jax.random.PRNGKey(7),
+                           env.table.route_ids([("IN_6", "OUT_2")]))
+    step = jax.jit(env.step)
+    for t in range(400):
+        mean, _, _ = fwd(params, obs)
+        state, out = step(state, jnp.tanh(mean))
+        obs = out.obs
+        if bool(out.terminated):
+            break
+    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
+    assert t < 200, t
+
+    env4 = IntersectionEnv(EnvConfig(num_agents=8, traffic_flow=True,
+                                     traffic_density=1.0, max_steps=400))
+    rids = env4.table.route_ids(default_ego_routes(8, 3))
+    state, obs = env4.reset(jax.random.PRNGKey(11), rids)
+    step4 = jax.jit(env4.step)
+    prev = np.zeros(8, np.int32)
+    successes = 0
+    for t in range(300):
+        mean, _, _ = fwd(params, obs)
+        state, out = step4(state, jnp.tanh(mean))
+        obs = out.obs
+        st = np.asarray(out.status)
+        successes += int(((st == STATUS_SUCCESS) & (prev != STATUS_SUCCESS)).sum())
+        prev = st
+    assert successes >= 4, successes  # several route completions in 300 steps
