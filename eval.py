@@ -126,11 +126,16 @@ def main():
             elif args.model == "gru":
                 mean, log_std, _, h = model.apply(params, obs, h)
                 acts = np.tanh(np.asarray(mean))
+                h = np.asarray(h)  # reset after the step, below
             else:
                 mean, log_std, _ = model.apply(params, obs)
                 acts = np.tanh(np.asarray(mean))
             state, out = step(state, jnp.asarray(acts, jnp.float32))
             obs = out.obs
+            if args.model == "gru" and model is not None:
+                # zero memory at agent life boundaries, matching training
+                # (recurrent_ppo._rollout's done masking)
+                h = h * (1.0 - np.asarray(out.done, np.float32))[:, None]
             total += float(np.asarray(out.reward).sum())
             st = np.asarray(out.status)
             # count EVENTS (transitions into a status), not per-step samples:

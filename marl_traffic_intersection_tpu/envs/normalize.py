@@ -27,7 +27,8 @@ from .vector import VectorEnv
 class NormState(NamedTuple):
     env_state: object        # wrapped EnvState pytree (B-leading)
     ret: jnp.ndarray         # (B, N) discounted return accumulator
-    count: jnp.ndarray       # (B,) samples seen per env
+    count: jnp.ndarray       # (B,) i64 samples seen per env (f32 would stop
+                             # incrementing at 2^24 samples on long runs)
     mean: jnp.ndarray        # (B,) running mean of returns
     m2: jnp.ndarray          # (B,) running sum of squared deviations
 
@@ -56,7 +57,7 @@ class RewardNormVecEnv:
         return NormState(
             env_state=env_state,
             ret=jnp.zeros((b, n), jnp.float32),
-            count=jnp.zeros((b,), jnp.float32),
+            count=jnp.zeros((b,), jnp.int32),
             mean=jnp.zeros((b,), jnp.float32),
             m2=jnp.zeros((b,), jnp.float32),
         ), obs
@@ -74,12 +75,14 @@ class RewardNormVecEnv:
         # per-env Welford merge of this tick's N return samples
         batch_mean = ret.mean(-1)                              # (B,)
         batch_m2 = ((ret - batch_mean[:, None]) ** 2).sum(-1)  # (B,)
-        count_new = state.count + n
+        count_new = state.count + n                            # exact int count
+        cf = count_new.astype(jnp.float32)
         delta = batch_mean - state.mean
-        mean_new = state.mean + delta * n / count_new
-        m2_new = state.m2 + batch_m2 + delta ** 2 * state.count * n / count_new
+        mean_new = state.mean + delta * n / cf
+        m2_new = (state.m2 + batch_m2
+                  + delta ** 2 * state.count.astype(jnp.float32) * n / cf)
 
-        var = m2_new / jnp.maximum(count_new - 1.0, 1.0)
+        var = m2_new / jnp.maximum(cf - 1.0, 1.0)
         scale = jax.lax.rsqrt(var + self.eps)                  # (B,)
         # identity until enough samples: early over-estimates of scale would
         # blow the first updates up

@@ -13,7 +13,8 @@ MODEL_FAMILIES = {
 
 
 def make_model(kind: str):
-    """Instantiate a model family by name ('mlp' | 'attention' | 'conv')."""
+    """Instantiate a model family by name
+    ('mlp' | 'attention' | 'conv' | 'gru')."""
     try:
         return MODEL_FAMILIES[kind]()
     except KeyError:

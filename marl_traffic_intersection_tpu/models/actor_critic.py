@@ -23,6 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bounded_log_std(module: nn.Module, act_dim: int,
+                    lo: float = -4.0, hi: float = 0.5) -> jnp.ndarray:
+    """Smoothly-bounded state-independent log_std in [lo, hi], shared by all
+    model families. With tanh action squashing the base-Gaussian entropy is
+    unbounded in std, so an entropy bonus can blow log_std up without changing
+    behavior; a hard clip would kill the gradient once pinned at the bound, so
+    bound with a tanh instead. Raw init chosen so log_std starts at 0."""
+    raw_init = float(np.arctanh(2.0 * (0.0 - lo) / (hi - lo) - 1.0))
+    raw = module.param("log_std", nn.initializers.constant(raw_init),
+                       (act_dim,), jnp.float32)
+    return lo + 0.5 * (hi - lo) * (jnp.tanh(raw) + 1.0)
+
+
 class ActorCriticMLP(nn.Module):
     hidden: Sequence[int] = (256, 256)
     act_dim: int = 2
@@ -42,16 +55,7 @@ class ActorCriticMLP(nn.Module):
         value = nn.Dense(1, name="vf",
                          kernel_init=nn.initializers.orthogonal(1.0),
                          dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
-        # Smoothly-bounded state-independent log_std in [-4, 0.5]. With tanh
-        # squashing the base-Gaussian entropy is unbounded in std, so an
-        # entropy bonus can blow log_std up without changing behavior; a hard
-        # clip would kill the gradient once pinned at the bound, so bound with
-        # a tanh instead. Raw init chosen so log_std starts at 0 (std = 1).
-        lo, hi = -4.0, 0.5
-        raw_init = float(np.arctanh(2.0 * (0.0 - lo) / (hi - lo) - 1.0))
-        raw = self.param("log_std", nn.initializers.constant(raw_init),
-                         (self.act_dim,), jnp.float32)
-        log_std = lo + 0.5 * (hi - lo) * (jnp.tanh(raw) + 1.0)
+        log_std = bounded_log_std(self, self.act_dim)
         return (mean.astype(jnp.float32), log_std,
                 jnp.squeeze(value, -1).astype(jnp.float32))
 

@@ -93,12 +93,8 @@ class SceneTransformerPolicy(nn.Module):
                         kernel_init=nn.initializers.orthogonal(0.01),
                         name="pi_mean")(pooled)
         value = nn.Dense(1, dtype=dt, param_dtype=jnp.float32, name="vf")(pooled)
-        # smoothly-bounded log_std (see actor_critic.py rationale)
-        lo, hi = -4.0, 0.5
-        raw_init = float(np.arctanh(2.0 * (0.0 - lo) / (hi - lo) - 1.0))
-        raw = self.param("log_std", nn.initializers.constant(raw_init),
-                         (self.act_dim,), jnp.float32)
-        log_std = lo + 0.5 * (hi - lo) * (jnp.tanh(raw) + 1.0)
+        from .actor_critic import bounded_log_std
+        log_std = bounded_log_std(self, self.act_dim)
 
         mean = mean.astype(jnp.float32).reshape(*batch, self.act_dim)
         value = jnp.squeeze(value, -1).astype(jnp.float32).reshape(*batch)

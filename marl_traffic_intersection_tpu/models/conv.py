@@ -69,12 +69,8 @@ class LidarConvPolicy(nn.Module):
         value = nn.Dense(1, dtype=dt, param_dtype=jnp.float32,
                          kernel_init=nn.initializers.orthogonal(1.0),
                          name="vf")(h)
-        # smoothly-bounded log_std (rationale in actor_critic.py)
-        lo, hi = -4.0, 0.5
-        raw_init = float(np.arctanh(2.0 * (0.0 - lo) / (hi - lo) - 1.0))
-        raw = self.param("log_std", nn.initializers.constant(raw_init),
-                         (self.act_dim,), jnp.float32)
-        log_std = lo + 0.5 * (hi - lo) * (jnp.tanh(raw) + 1.0)
+        from .actor_critic import bounded_log_std
+        log_std = bounded_log_std(self, self.act_dim)
 
         mean = mean.astype(jnp.float32).reshape(*batch, self.act_dim)
         value = jnp.squeeze(value, -1).astype(jnp.float32).reshape(*batch)

@@ -1,0 +1,35 @@
+"""Batch-size scaling sweep: env-steps/s/chip vs num_envs.
+
+Evidence for the linear-scaling claim in PERF.md — one JSON line per batch
+size. Run on the TPU (serially; one process at a time on the tunnel chip):
+
+  python scripts/scaling_curve.py
+  BENCH_AGENTS=4 BENCH_SIZES=512,2048,8192 python scripts/scaling_curve.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bench_tpu  # noqa: E402
+
+
+def main():
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_SIZES", "1024,2048,4096,8192,16384").split(",")]
+    agents = int(os.environ.get("BENCH_AGENTS", 4))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    inner = int(os.environ.get("BENCH_INNER", 10))
+    for b in sizes:
+        v = bench_tpu(b, agents, iters, inner)
+        print(json.dumps({"num_envs": b, "agents": agents,
+                          "env_steps_per_s": round(v, 1),
+                          "batched_step_us": round(1e6 * b / v, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

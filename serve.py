@@ -75,6 +75,7 @@ def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
         actions, _ = fwd(padded)
         return np.asarray(actions)[:n], None
 
+    act.h_dim = h_dim  # 0 for feedforward families; used for /act validation
     return act
 
 
@@ -113,6 +114,14 @@ class Handler(BaseHTTPRequestHandler):
             h = req.get("h")
             if h is not None:
                 h = np.asarray(h, np.float32)
+                h_dim = getattr(Handler.act, "h_dim", 0)
+                expect = (obs.shape[0], h_dim)
+                if h_dim == 0:
+                    return self._reply(400, {"error": "h given but the served "
+                                                      "model is not recurrent"})
+                if h.shape != expect:
+                    return self._reply(400, {"error": f"h must be {list(expect)}, "
+                                                      f"got {list(h.shape)}"})
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": f"bad request: {e}"})
         actions, h_new = Handler.act(obs, h)

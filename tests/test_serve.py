@@ -84,6 +84,7 @@ def test_recurrent_serving_roundtrip(tmp_path):
                                                  "opt_state": {}, "update": 0})
 
     port = _free_port()
+    prev_act = S.Handler.__dict__.get("act")  # restore for the shared fixture
     S.Handler.act = staticmethod(
         S.make_policy(str(tmp_path / "gru_ckpt"), "gru", max_batch=8))
     httpd = ThreadingHTTPServer(("127.0.0.1", port), S.Handler)
@@ -100,8 +101,15 @@ def test_recurrent_serving_roundtrip(tmp_path):
         # the carried hidden state evolves (memory round-trips)
         assert not np.allclose(np.asarray(h1), np.asarray(out2["h"]))
         assert np.all(np.abs(np.asarray(out2["actions"])) <= 1.0)
+        # malformed h -> 400, not a dead handler thread
+        try:
+            _post(port, {"obs": obs, "h": [[0.0, 0.0]]})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
+        S.Handler.act = prev_act
 
 
 def test_healthz(server):

@@ -101,7 +101,8 @@ def main():
     from marl_traffic_intersection_tpu.envs.normalize import RewardNormVecEnv
     from marl_traffic_intersection_tpu.envs.vector import VectorEnv
     from marl_traffic_intersection_tpu.models import make_model
-    from marl_traffic_intersection_tpu.parallel.mesh import make_mesh
+    from marl_traffic_intersection_tpu.parallel.mesh import (make_hybrid_mesh,
+                                                             make_mesh)
     from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
     from marl_traffic_intersection_tpu.parallel.recurrent_ppo import (
         RecurrentPPOLearner)
@@ -109,10 +110,17 @@ def main():
         restore_checkpoint, save_checkpoint)
     from marl_traffic_intersection_tpu.utils.profiling import StepsPerSecond
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh(n_data=n_dev // args.tp, n_model=args.tp)
+    devices = jax.devices()
+    n_dev = len(devices)
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices > 1:
+        # DCN-connected multi-slice pod: replica axis across slices, batch
+        # sharded over (replica, data) — see PERF.md "Multi-slice scaling"
+        mesh = make_hybrid_mesh(n_model=args.tp)
+    else:
+        mesh = make_mesh(n_data=n_dev // args.tp, n_model=args.tp)
     if jax.process_index() == 0:
-        print(f"devices={n_dev} mesh={dict(mesh.shape)}")
+        print(f"devices={n_dev} slices={n_slices} mesh={dict(mesh.shape)}")
 
     if args.curriculum:
         stages = parse_curriculum(args.curriculum)
