@@ -29,8 +29,34 @@ def all_routes(num_lanes: int):
     return [(s, e) for s, ends in mapping.items() for e in ends]
 
 
-def scripted(env: GymIntersectionEnv, steps: int, out: str):
-    """Drive with the Stanley baseline controller (eval.py); dump a GIF."""
+def make_checkpoint_policy(checkpoint: str, model_kind: str):
+    """Deterministic-mean driver from a trained checkpoint (any family)."""
+    import jax
+    import numpy as np
+
+    from marl_traffic_intersection_tpu.models import make_model
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    model = make_model(model_kind)
+    params = restore_checkpoint(checkpoint)["params"]
+    fwd = jax.jit(model.apply)
+    state = {"h": None}
+
+    def policy(obs2):
+        if model_kind == "gru":
+            if state["h"] is None:
+                state["h"] = model.initial_hidden(obs2.shape[0])
+            mean, _, _, state["h"] = fwd(params, obs2, state["h"])
+        else:
+            mean, _, _ = fwd(params, obs2)
+        return np.tanh(np.asarray(mean))
+
+    return policy
+
+
+def scripted(env: GymIntersectionEnv, steps: int, out: str, policy=None):
+    """Drive with the Stanley baseline controller (eval.py) or a trained
+    checkpoint policy; dump a GIF."""
     from PIL import Image
     from eval import scripted_policy
 
@@ -39,7 +65,10 @@ def scripted(env: GymIntersectionEnv, steps: int, out: str):
     total = 0.0
     for t in range(steps):
         obs2 = obs if obs.ndim == 2 else obs[None]
-        acts = scripted_policy(obs2, env.state, env._core.table)
+        if policy is None:
+            acts = scripted_policy(obs2, env.state, env._core.table)
+        else:
+            acts = policy(obs2)
         r = env.step(acts if env.num_agents > 1 and not env.traffic_flow
                      else acts[0])
         obs, rew, term, trunc, info = r
@@ -106,6 +135,11 @@ def main():
     ap.add_argument("--density", type=float, default=10.0)
     ap.add_argument("--agents", type=int, default=1)
     ap.add_argument("--lanes", type=int, default=3)
+    ap.add_argument("--checkpoint", default=None,
+                    help="drive with a trained policy instead of the Stanley "
+                         "baseline (scripted mode only)")
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
+                    default="mlp", help="model family of --checkpoint")
     args = ap.parse_args()
 
     env = GymIntersectionEnv({
@@ -122,7 +156,9 @@ def main():
                       for _ in range(env.num_agents)]
     env.reset()
     if args.script:
-        scripted(env, args.steps, args.out)
+        policy = (make_checkpoint_policy(args.checkpoint, args.model)
+                  if args.checkpoint else None)
+        scripted(env, args.steps, args.out, policy=policy)
     else:
         interactive(env)
 

@@ -197,3 +197,64 @@ def test_shipped_attention_artifact_solves_config1():
             break
     assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
     assert t < 200, t
+
+
+def test_shipped_gru_artifact_solves_config1():
+    """The committed recurrent-family checkpoint must solve config 1."""
+    import pathlib
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
+    from marl_traffic_intersection_tpu.models import RecurrentActorCritic
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_gru_cfg1"
+    if not art.exists():
+        pytest.skip("no artifact")
+    params = restore_checkpoint(str(art))["params"]
+    model = RecurrentActorCritic()
+    fwd = jax.jit(model.apply)
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
+    state, obs = env.reset(jax.random.PRNGKey(7),
+                           env.table.route_ids([("IN_6", "OUT_2")]))
+    h = model.initial_hidden(1)
+    step = jax.jit(env.step)
+    for t in range(400):
+        mean, _, _, h = fwd(params, obs, h)
+        state, out = step(state, jnp.tanh(mean))
+        obs = out.obs
+        if bool(out.terminated):
+            break
+    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
+    assert t < 200, t
+
+
+def test_shipped_conv_artifact_solves_config1():
+    """The committed conv-family checkpoint must solve config 1."""
+    import pathlib
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
+    from marl_traffic_intersection_tpu.models import LidarConvPolicy
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_conv_cfg1"
+    if not art.exists():
+        pytest.skip("no artifact")
+    params = restore_checkpoint(str(art))["params"]
+    model = LidarConvPolicy()
+    fwd = jax.jit(model.apply)
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
+    state, obs = env.reset(jax.random.PRNGKey(7),
+                           env.table.route_ids([("IN_6", "OUT_2")]))
+    step = jax.jit(env.step)
+    for t in range(400):
+        mean, _, _ = fwd(params, obs)
+        state, out = step(state, jnp.tanh(mean))
+        obs = out.obs
+        if bool(out.terminated):
+            break
+    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
+    assert t < 200, t
