@@ -214,7 +214,9 @@ class IntersectionEnv:
         )
         state = EnvState(
             ego=ego,
-            npc=init_npc_state(cfg.max_npcs),
+            # No NPC slots without traffic flow: carrying empty (max_npcs,)
+            # buffers through scan/while loops costs real copy bandwidth.
+            npc=init_npc_state(cfg.max_npcs if cfg.traffic_flow else 0),
             # First obs sees all-max lidar from init (IntersectionEnv.cpp:117)
             lidar=jnp.full((n, LIDAR_RAYS), _F(LIDAR_MAX_DIST)),
             step_count=jnp.int32(0),

@@ -54,6 +54,33 @@ def is_on_road(x, y, num_lanes: int = 3):
     return (~in_grass) & (in_vertical | in_horizontal | in_corner)
 
 
+def off_road_grid_fast(x, y, num_lanes: int = 3):
+    """``~is_on_road`` specialized for integer-valued float coords (lidar grid).
+
+    Bit-exact to ``~is_on_road(x, y)`` whenever ``x``/``y`` are integer-valued
+    float32 (the lidar samples are ``int()``-truncated pixel coords,
+    cpp/Lidar.cpp:34-35): every quantity below is an integer (or integer sum
+    of squares) well under 2**24, so all f32 arithmetic is exact. Folding the
+    4-fold symmetry about the canvas center turns the reference's four
+    grass-circle tests (RoadGeometry.h:19-58) into ONE distance test against
+    the nearest circle center, and the corner-square bands into two compares —
+    roughly halving the per-sample op count on the lidar hot path.
+    """
+    rw = np.float32(num_lanes * LANE_WIDTH_PX)
+    cr = np.float32(CORNER_RADIUS)
+    d = rw + cr                      # circle-center offset from canvas center
+    r2 = cr * cr
+    ax = jnp.abs(x - _CX)
+    ay = jnp.abs(y - _CY)
+    gx = ax - d
+    gy = ay - d
+    in_grass = gx * gx + gy * gy <= r2
+    # (ax<=rw) | (ay<=rw) | corner-band: the band's lower bounds (ax>=rw) are
+    # redundant under the union — if ax<rw the vertical strip already covers.
+    on_rect = (ax <= rw) | (ay <= rw) | ((ax <= d) & (ay <= d))
+    return in_grass | ~on_rect
+
+
 def hits_yellow_line(x, y, num_lanes: int = 3):
     """Analytic center-line test (reference: cpp/RoadGeometry.h:60-67)."""
     rw = np.float32(num_lanes * LANE_WIDTH_PX)

@@ -39,7 +39,7 @@ from .constants import (
     LIDAR_STEP,
     WIDTH,
 )
-from .geometry import is_on_road
+from .geometry import off_road_grid_fast
 
 
 def ray_rel_angles(rays: int = LIDAR_RAYS, fov_deg: float = LIDAR_FOV_DEG) -> np.ndarray:
@@ -81,21 +81,24 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     dx = jnp.cos(ray_angle)
     dy = -jnp.sin(ray_angle)                             # y-down screen coords (Lidar.cpp:27)
 
-    # Sample positions, truncated to ints exactly like the C++ int() casts
+    # Sample positions, truncated exactly like the C++ int() casts. The int
+    # round-trip int(x) -> float(int) is a single float trunc (values are
+    # far inside the int32 range), which avoids materializing separate s32
+    # grids on the device.
     sx = self_x + dx[:, None] * dists[None, :]           # (R, S)
     sy = self_y + dy[:, None] * dists[None, :]
-    xi = sx.astype(jnp.int32)
-    yi = sy.astype(jnp.int32)
+    xf = jnp.trunc(sx)
+    yf = jnp.trunc(sy)
 
-    oob = (xi < 0) | (xi >= WIDTH) | (yi < 0) | (yi >= HEIGHT)
+    oob = (xf < f32(0)) | (xf >= f32(WIDTH)) | (yf < f32(0)) | (yf >= f32(HEIGHT))
 
-    xf = xi.astype(f32)
-    yf = yi.astype(f32)
     pos_dist = dists > f32(0.0)                          # (S,)
 
-    road_hit = pos_dist[None, :] & ~is_on_road(xf, yf, num_lanes)
+    road_hit = pos_dist[None, :] & off_road_grid_fast(xf, yf, num_lanes)
 
-    # Obstacle AABB tests. Self/duplicate exclusion by eps pose compare.
+    # Obstacle AABB tests. Self/duplicate exclusion by eps pose compare;
+    # excluded/absent obstacles get inverted (+inf/-inf) box bounds so the
+    # mask costs nothing inside the (R, S, M) grid.
     eps = f32(1e-3)
     not_self = ~(
         (jnp.abs(obs_x - self_x) < eps)
@@ -110,25 +113,33 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     hw = f32(CAR_WIDTH * 0.5)
     ex = jnp.abs(cosA) * hl + jnp.abs(sinA) * hw          # (M,)
     ey = jnp.abs(sinA) * hl + jnp.abs(cosA) * hw
+    inf = f32(jnp.inf)
+    lox = jnp.where(active, obs_x - ex, inf)
+    hix = jnp.where(active, obs_x + ex, -inf)
+    loy = jnp.where(active, obs_y - ey, inf)
+    hiy = jnp.where(active, obs_y + ey, -inf)
 
     in_box = (
-        (xf[:, :, None] >= obs_x - ex)
-        & (xf[:, :, None] <= obs_x + ex)
-        & (yf[:, :, None] >= obs_y - ey)
-        & (yf[:, :, None] <= obs_y + ey)
+        (xf[:, :, None] >= lox)
+        & (xf[:, :, None] <= hix)
+        & (yf[:, :, None] >= loy)
+        & (yf[:, :, None] <= hiy)
     )                                                     # (R, S, M)
-    car_hit = pos_dist[None, :] & jnp.any(in_box & active, axis=-1)
+    car_hit = pos_dist[None, :] & jnp.any(in_box, axis=-1)
 
-    # Resolve the sequential break with two fused min-reductions: the first
-    # sample index that is a hit (not-oob ∧ (road ∨ car)) vs the first that is
-    # out-of-bounds. oob wins ties by construction (a hit sample requires
-    # ~oob), so: hit iff first_hit < first_oob.
+    # Resolve the sequential break with ONE fused min-reduction over a parity
+    # code: hit samples (not-oob ∧ (road ∨ car)) encode as 2s, oob samples as
+    # 2s+1, everything else as BIG. A sample cannot be both (hit requires
+    # ~oob), so min(code) is even iff the first event along the ray is a hit
+    # — exactly the reference's sequential break (cpp/Lidar.cpp:33-86). One
+    # code grid instead of two halves the reduce traffic and leaves XLA a
+    # single consumer chain to fuse the whole sample grid into.
     nsamp = dists.shape[0]
-    samp = jnp.arange(nsamp, dtype=jnp.int32)
-    big = jnp.int32(nsamp)
-    hit_code = jnp.where(~oob & (road_hit | car_hit), samp[None, :], big)
-    oob_code = jnp.where(oob, samp[None, :], big)
-    first_hit = jnp.min(hit_code, axis=-1)                # (R,)
-    first_oob = jnp.min(oob_code, axis=-1)
-    hit = first_hit < first_oob
-    return jnp.where(hit, first_hit.astype(f32) * f32(step_size), f32(max_dist))
+    samp2 = jnp.arange(0, 2 * nsamp, 2, dtype=jnp.int32)
+    big = jnp.int32(2 * nsamp)
+    code = jnp.where(oob, samp2[None, :] + 1,
+                     jnp.where(road_hit | car_hit, samp2[None, :], big))
+    first = jnp.min(code, axis=-1)                        # (R,)
+    hit = (first < big) & ((first & 1) == 0)
+    return jnp.where(hit, (first >> 1).astype(f32) * f32(step_size),
+                     f32(max_dist))

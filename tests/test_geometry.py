@@ -68,3 +68,15 @@ def test_line_pixel_vs_oracle_sampled():
         mine = np.asarray(G.is_line_pixel(xs.astype(np.int32), ys.astype(np.int32), lanes))
         ref = np.array([O.line_pixel(lanes, int(x), int(y)) for x, y in zip(xs, ys)], bool)
         assert np.array_equal(mine, ref)
+
+
+def test_off_road_grid_fast_matches_is_on_road():
+    """The symmetry-folded lidar road test must be bit-identical to
+    ~is_on_road on every integer-valued coordinate a lidar sample can take
+    (canvas plus the 250px-range overshoot band)."""
+    for lanes in (2, 3):
+        coords = np.arange(-300, WIDTH + 300, dtype=np.float32)
+        xs, ys = np.meshgrid(coords, coords)
+        ref = ~np.asarray(G.is_on_road(xs, ys, lanes))
+        got = np.asarray(G.off_road_grid_fast(xs, ys, lanes))
+        assert np.array_equal(got, ref)
