@@ -119,13 +119,18 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     loy = jnp.where(active, obs_y - ey, inf)
     hiy = jnp.where(active, obs_y + ey, -inf)
 
-    in_box = (
-        (xf[:, :, None] >= lox)
-        & (xf[:, :, None] <= hix)
-        & (yf[:, :, None] >= loy)
-        & (yf[:, :, None] <= hiy)
-    )                                                     # (R, S, M)
-    car_hit = pos_dist[None, :] & jnp.any(in_box, axis=-1)
+    # Statically unrolled obstacle loop on (R, S) masks instead of an
+    # (R, S, M) grid + any-reduce: the grid's separate reduce fusion forced
+    # XLA to materialize the truncated xf/yf sample grids to HBM (~0.8 GB
+    # round-trip per step at 4096x4); with only elementwise (R, S) work
+    # feeding the final min-reduce, the whole march fuses into one kernel.
+    hit_any = road_hit
+    for m_i in range(obs_x.shape[0]):
+        hit_any |= (
+            (xf >= lox[m_i]) & (xf <= hix[m_i])
+            & (yf >= loy[m_i]) & (yf <= hiy[m_i])
+            & pos_dist[None, :]
+        )
 
     # Resolve the sequential break with ONE fused min-reduction over a parity
     # code: hit samples (not-oob ∧ (road ∨ car)) encode as 2s, oob samples as
@@ -138,7 +143,7 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     samp2 = jnp.arange(0, 2 * nsamp, 2, dtype=jnp.int32)
     big = jnp.int32(2 * nsamp)
     code = jnp.where(oob, samp2[None, :] + 1,
-                     jnp.where(road_hit | car_hit, samp2[None, :], big))
+                     jnp.where(hit_any, samp2[None, :], big))
     first = jnp.min(code, axis=-1)                        # (R,)
     hit = (first < big) & ((first & 1) == 0)
     return jnp.where(hit, (first >> 1).astype(f32) * f32(step_size),

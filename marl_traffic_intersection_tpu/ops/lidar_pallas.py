@@ -3,8 +3,10 @@
 Semantics identical to core/lidar.lidar_scan (reference: cpp/Lidar.cpp:22-90)
 but batched over envs inside one kernel: the whole (samples x rays) march for
 an env block lives in VMEM/vregs, writing only the (B, N, RAYS) result — no
-(B, N, RAYS, SAMPLES) intermediates ever touch HBM (the XLA path materializes
-the truncated sample grids, ~0.8 GB of HBM round-trip per step at 4096x4).
+(B, N, RAYS, SAMPLES) intermediates ever touch HBM. Kept as a non-default
+alternative: since core/lidar.py switched to a statically-unrolled obstacle
+loop, XLA fuses the whole jnp march into one reduce kernel with no HBM
+intermediates either, and beats this kernel at the benchmark shapes.
 
 Layout: the march grid is (block_envs, SAMPLES->64 sublanes, RAYS->128 lanes)
 — fully data-parallel, no sequential sample loop (a fori_loop over samples
