@@ -94,16 +94,16 @@ def spawn_decision(key, num_traffic_routes: int, density, dt) -> Tuple[jnp.ndarr
     return do_try, route_choice
 
 
-def _plan_npc_action(slot, pi0, x, y, v, heading, alive, uid, path):
+def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid, path):
     """Plan one NPC's (throttle, steer) — TrafficFlow.cpp:50-196, fully masked.
 
-    Array args are the *current* (possibly mid-tick-updated) slot arrays; the
-    planning NPC's own pose is read from them at ``slot``. ``path`` is this
-    NPC's (PATH_LEN, 2) polyline, ``pi0`` its refreshed path index.
+    ``sx/sy/sv/sh`` are the planner's own pose, ``my_uid`` its uid, ``others``
+    the (M,) mask of alive NPCs excluding itself; the slot arrays hold the
+    *current* (possibly mid-tick-updated) poses. ``path`` is this NPC's
+    (PATH_LEN, 2) polyline, ``pi0`` its refreshed path index. Own-pose scalars
+    are passed in (not read via ``x[slot]``) so the exact mode's sequential
+    loop stays free of per-iteration dynamic gathers.
     """
-    sx, sy, sv, sh = x[slot], y[slot], v[slot], heading[slot]
-    m = jnp.arange(x.shape[0])
-    others = alive & (m != slot)
 
     # --- 1) lateral: P-control on lookahead heading error (TrafficFlow.cpp:52-64)
     tgt_idx = jnp.minimum(pi0 + 12, PATH_LEN - 1)
@@ -177,7 +177,7 @@ def _plan_npc_action(slot, pi0, x, y, v, heading, alive, uid, path):
     rule1 = dtc[:, None] < _F(15.0)
     rule2 = (sv < _F(1.0)) & (v[None, :] > _F(3.0)) & (other_dc[None, :] < my_dc + _F(25.0))
     rule3 = other_dc[None, :] < my_dc - _F(5.0)
-    rule4 = (jnp.abs(other_dc - my_dc)[None, :] <= _F(5.0)) & (uid[slot] < uid)[None, :]
+    rule4 = (jnp.abs(other_dc - my_dc)[None, :] <= _F(5.0)) & (my_uid < uid)[None, :]
     should_yield = rule1 | rule2 | rule3 | rule4
 
     consider = close & others[None, :] & ~same_dir[None, :] & ~skip_parallel[None, :]
@@ -203,26 +203,41 @@ def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
     max_npcs = npc.alive.shape[0]
     order_key = jnp.where(npc.alive, npc.uid, _UID_MAX)
     perm = jnp.argsort(order_key).astype(jnp.int32)
+    # all slot paths fetched once per tick with one MXU contraction; inside
+    # the loop each slot's row comes from a (M,)x(M,P*2) one-hot matmul —
+    # per-iteration dynamic gathers/scatters (paths_table[route_id[slot]],
+    # .at[slot].set) serialize badly on TPU
+    from .physics import gather_rows_matmul
+    paths_all = gather_rows_matmul(paths_table, npc.route_id)  # (M, P, 2)
+    paths_flat = paths_all.reshape(max_npcs, -1)
+    miota = jnp.arange(max_npcs, dtype=jnp.int32)
 
     def body(p, carry):
         x, y, v, heading, steering, path_index = carry
         slot = perm[p]
-        present = npc.alive[slot]
-        path = paths_table[npc.route_id[slot]]            # (P, 2)
+        oh = miota == slot                                # (M,) one-hot
+        present = jnp.any(oh & npc.alive)
 
-        pi0 = update_path_index(path[None], PATH_LEN, path_index[slot][None],
-                                x[slot][None], y[slot][None])[0]
-        throttle, steer = _plan_npc_action(slot, pi0, x, y, v, heading, npc.alive, npc.uid, path)
-        out = car_physics_step(x[slot], y[slot], v[slot], heading[slot], steering[slot],
-                               throttle, steer, dt)
-        pi1 = update_path_index(path[None], PATH_LEN, pi0[None], out.x[None], out.y[None])[0]
+        def sel(a):
+            return jnp.sum(jnp.where(oh, a, jnp.zeros_like(a)))
 
-        x = jnp.where(present, x.at[slot].set(out.x), x)
-        y = jnp.where(present, y.at[slot].set(out.y), y)
-        v = jnp.where(present, v.at[slot].set(out.v), v)
-        heading = jnp.where(present, heading.at[slot].set(out.heading), heading)
-        steering = jnp.where(present, steering.at[slot].set(out.steering_angle), steering)
-        path_index = jnp.where(present, path_index.at[slot].set(pi1), path_index)
+        path = jnp.matmul(oh.astype(_F), paths_flat,
+                          precision=jax.lax.Precision.HIGHEST).reshape(PATH_LEN, 2)
+        sx, sy, sv, sh = sel(x), sel(y), sel(v), sel(heading)
+        pi0 = update_path_index(path, PATH_LEN, sel(path_index), sx, sy)
+        throttle, steer = _plan_npc_action(
+            sx, sy, sv, sh, sel(npc.uid), npc.alive & ~oh, pi0,
+            x, y, v, heading, npc.uid, path)
+        out = car_physics_step(sx, sy, sv, sh, sel(steering), throttle, steer, dt)
+        pi1 = update_path_index(path, PATH_LEN, pi0, out.x, out.y)
+
+        write = oh & present
+        x = jnp.where(write, out.x, x)
+        y = jnp.where(write, out.y, y)
+        v = jnp.where(write, out.v, v)
+        heading = jnp.where(write, out.heading, heading)
+        steering = jnp.where(write, out.steering_angle, steering)
+        path_index = jnp.where(write, pi1, path_index)
         return (x, y, v, heading, steering, path_index)
 
     x, y, v, heading, steering, path_index = jax.lax.fori_loop(
@@ -249,13 +264,17 @@ def npc_collisions(npc: NpcState) -> NpcState:
     order_key = jnp.where(npc.alive, npc.uid, _UID_MAX)
     perm = jnp.argsort(order_key).astype(jnp.int32)
     later = npc.uid[:, None] < npc.uid[None, :]            # uid order == vector order
+    miota = jnp.arange(max_npcs, dtype=jnp.int32)
 
     def body(p, alive):
         i = perm[p]
-        row_active = alive[i]
-        j_kill = row_active & alive & later[i] & collide[i]
+        oh = miota == i                                    # one-hot row select:
+        row_active = jnp.any(oh & alive)                   # no dynamic gather/
+        later_i = jnp.any(later & oh[:, None], axis=0)     # scatter inside the
+        collide_i = jnp.any(collide & oh[:, None], axis=0)  # sequential loop
+        j_kill = row_active & alive & later_i & collide_i
         alive = alive & ~j_kill
-        return alive.at[i].set(alive[i] & ~jnp.any(j_kill))
+        return jnp.where(oh, alive & ~jnp.any(j_kill), alive)
 
     alive = jax.lax.fori_loop(0, max_npcs, body, npc.alive)
     return npc._replace(alive=alive)
@@ -345,8 +364,10 @@ def npc_controller_update_fast(npc: NpcState, paths_table, dt) -> NpcState:
     pi0 = update_path_index(paths, PATH_LEN, npc.path_index, npc.x, npc.y)
 
     def plan_one(slot, pi, path):
-        return _plan_npc_action(slot, pi, npc.x, npc.y, npc.v, npc.heading,
-                                npc.alive, npc.uid, path)
+        others = npc.alive & (slots != slot)
+        return _plan_npc_action(npc.x[slot], npc.y[slot], npc.v[slot],
+                                npc.heading[slot], npc.uid[slot], others, pi,
+                                npc.x, npc.y, npc.v, npc.heading, npc.uid, path)
 
     throttle, steer = jax.vmap(plan_one)(slots, pi0, paths)
     out = car_physics_step(npc.x, npc.y, npc.v, npc.heading, npc.steering_angle,

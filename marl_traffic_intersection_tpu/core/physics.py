@@ -120,9 +120,16 @@ def sat_overlap(corners_a, heading_a, corners_b, heading_b):
         axis=-2,
     )  # (..., 4, 2)
 
-    # Project both corner sets on each axis: (..., axes=4, corners=4)
-    pa = jnp.einsum("...kc,...ac->...ak", corners_a, axes)
-    pb = jnp.einsum("...kc,...ac->...ak", corners_b, axes)
+    # Project both corner sets on each axis: (..., axes=4, corners=4).
+    # Explicit mul+add instead of einsum: a dot_general would ride the MXU,
+    # whose default bf16 pass rounds the operands — collision decisions near
+    # the boundary would silently diverge from the f32 reference on TPU.
+    def proj(corners):
+        return (corners[..., None, :, 0] * axes[..., :, None, 0]
+                + corners[..., None, :, 1] * axes[..., :, None, 1])
+
+    pa = proj(corners_a)
+    pb = proj(corners_b)
     min_a, max_a = pa.min(axis=-1), pa.max(axis=-1)
     min_b, max_b = pb.min(axis=-1), pb.max(axis=-1)
     separated = (max_a < min_b) | (max_b < min_a)  # (..., 4)
@@ -157,9 +164,16 @@ def update_path_index(path, path_len, path_index, x, y, search_range: int = 50):
 
 def gather_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row-gather as a one-hot matmul: TPU gathers of table rows are slow,
-    while a (..., R) x (R, D) contraction rides the MXU. table: (R, ...)."""
+    while a (..., R) x (R, D) contraction rides the MXU. table: (R, ...).
+
+    Precision is pinned to float32: the TPU MXU's default single-bf16-pass
+    matmul rounds the *values* (up to ~2 px error on 750-px path coords,
+    silently breaking reference parity on device — CPU-side lockstep tests
+    cannot catch it). float32 (bf16x3/x6 passes) keeps one-hot row selection
+    bit-exact; these contractions are far from the step's critical path.
+    """
     r = table.shape[0]
     flat = table.reshape(r, -1)
     oh = jax.nn.one_hot(idx, r, dtype=flat.dtype)
-    out = oh @ flat
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(idx.shape + table.shape[1:])

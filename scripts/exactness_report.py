@@ -20,7 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# --device tpu runs the JAX side on the accelerator (oracle stays on host),
+# catching device-only numerics (e.g. MXU default-precision matmul rounding);
+# default stays CPU for fast, tunnel-free runs.
+if "--device" in sys.argv:
+    _dev = sys.argv[sys.argv.index("--device") + 1]
+else:
+    _dev = "cpu"
+if _dev == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -128,6 +136,8 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4])
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+                    help="platform for the JAX side (handled at import)")
     args = ap.parse_args()
 
     results = []
