@@ -83,6 +83,13 @@ def main():
                     help="staged training: 'key=val[,k=v]@updates;...' "
                          "(keys: agents, density, traffic, ent_coef, lr, "
                          "rollout_len); --updates is ignored when set")
+    ap.add_argument("--routes", default=None,
+                    help="restrict ego route sampling to a fixed pool, e.g. "
+                         "'IN_6:OUT_2,IN_1:OUT_7' (default: all mapped routes)")
+    ap.add_argument("--reward", default=None,
+                    help="override reward knobs, e.g. 'k_co=-20,k_prog=5' "
+                         "(fields of core.env.RewardParams; traced leaves, "
+                         "no recompile)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
@@ -152,11 +159,22 @@ def main():
         lr = ov.get("lr", args.lr)
         rollout_len = ov.get("rollout_len", args.rollout_len)
 
+        reward = None
+        if args.reward:
+            import numpy as np
+            from marl_traffic_intersection_tpu.core.env import RewardParams
+            kv = dict(p.split("=") for p in args.reward.split(","))
+            reward = RewardParams(**{k: np.float32(v) for k, v in kv.items()})
         env = IntersectionEnv(EnvConfig(
             num_agents=agents, traffic_flow=traffic,
             traffic_density=density, max_steps=2000,
-            npc_mode=args.npc_mode, lidar_impl=args.lidar_impl))
-        venv = VectorEnv(env, num_envs=args.num_envs)
+            npc_mode=args.npc_mode, lidar_impl=args.lidar_impl),
+            reward=reward)
+        route_pool = None
+        if args.routes:
+            pairs = [tuple(p.split(":")) for p in args.routes.split(",")]
+            route_pool = env.table.route_ids(pairs)
+        venv = VectorEnv(env, num_envs=args.num_envs, route_pool=route_pool)
         if args.norm_reward:
             venv = RewardNormVecEnv(venv)
         learner_cls = RecurrentPPOLearner if args.model == "gru" else PPOLearner
