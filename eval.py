@@ -81,7 +81,7 @@ def main():
     ap.add_argument("--max-steps", type=int, default=2000)
     ap.add_argument("--policy", choices=["scripted", "random", "checkpoint"],
                     default="scripted")
-    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru", "central"],
                     default="mlp", help="model family of --checkpoint")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--seed", type=int, default=0)

@@ -1,6 +1,7 @@
 """Policy/value model families for the intersection MARL task."""
 from .actor_critic import ActorCriticMLP, sample_action, logp_and_entropy
 from .attention import SceneTransformerPolicy
+from .central import CentralizedActorCritic
 from .conv import LidarConvPolicy
 from .recurrent import RecurrentActorCritic
 
@@ -9,12 +10,13 @@ MODEL_FAMILIES = {
     "attention": SceneTransformerPolicy,
     "conv": LidarConvPolicy,
     "gru": RecurrentActorCritic,  # recurrent: needs RecurrentPPOLearner
+    "central": CentralizedActorCritic,  # MAPPO-style centralized critic
 }
 
 
 def make_model(kind: str):
     """Instantiate a model family by name
-    ('mlp' | 'attention' | 'conv' | 'gru')."""
+    ('mlp' | 'attention' | 'conv' | 'gru' | 'central')."""
     try:
         return MODEL_FAMILIES[kind]()
     except KeyError:
@@ -23,5 +25,5 @@ def make_model(kind: str):
 
 
 __all__ = ["ActorCriticMLP", "SceneTransformerPolicy", "LidarConvPolicy",
-           "RecurrentActorCritic", "MODEL_FAMILIES", "make_model",
-           "sample_action", "logp_and_entropy"]
+           "RecurrentActorCritic", "CentralizedActorCritic", "MODEL_FAMILIES",
+           "make_model", "sample_action", "logp_and_entropy"]

@@ -120,8 +120,15 @@ def _gru_rule(path: str) -> P:
     return P()
 
 
+def _central_rule(path: str) -> P:
+    """CentralizedActorCritic: the actor torso shards like the MLP family;
+    the critic's pooled-embed path is small (embed=128) and stays replicated
+    so the agent-axis mean-pool never crosses devices."""
+    return _mlp_rule(path)
+
+
 _RULES = {"mlp": _mlp_rule, "attention": _transformer_rule, "conv": _conv_rule,
-          "gru": _gru_rule}
+          "gru": _gru_rule, "central": _central_rule}
 
 
 def param_shardings(mesh: Mesh, params, model_kind: str = "mlp"):

@@ -71,7 +71,15 @@ class PPOLearner:
 
     def init(self, key) -> TrainState:
         obs_dim = 127
-        params = self.model.init(key, jnp.zeros((1, obs_dim), jnp.float32))
+        if getattr(self.model, "needs_agent_axis", False):
+            # centralized-critic families pool over the agent axis (-2);
+            # param shapes are agent-count-independent, so init with the
+            # env's N only for trace validity
+            n = self.env.env.config.num_agents
+            init_obs = jnp.zeros((1, n, obs_dim), jnp.float32)
+        else:
+            init_obs = jnp.zeros((1, obs_dim), jnp.float32)
+        params = self.model.init(key, init_obs)
         return TrainState(params=params, opt_state=self.tx.init(params),
                           update_count=jnp.int32(0))
 

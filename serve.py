@@ -144,7 +144,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--port", type=int, default=8787)
-    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru", "central"],
                     default="mlp")
     ap.add_argument("--max-batch", type=int, default=256)
     args = ap.parse_args()

@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--lidar-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--rollout-len", type=int, default=64)
-    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
+    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru", "central"],
                     default="mlp")
     ap.add_argument("--tp", type=int, default=1, help="model-axis size")
     ap.add_argument("--lr", type=float, default=3e-4)
