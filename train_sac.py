@@ -1,0 +1,92 @@
+"""Off-policy SAC training launcher (see parallel/sac.py).
+
+Examples:
+  python train_sac.py --num-envs 256 --agents 2 --calls 200
+  python train_sac.py --traffic --density 0.5 --num-envs 512
+
+Each jitted call runs steps_per_call x [env step -> replay insert -> gradient
+update] as one XLA program; the replay buffer lives in HBM and is donated
+through the call (updated in place).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-envs", type=int, default=256)
+    ap.add_argument("--agents", type=int, default=2)
+    ap.add_argument("--traffic", action="store_true")
+    ap.add_argument("--density", type=float, default=0.5)
+    ap.add_argument("--npc-mode", choices=["exact", "fast"], default="fast")
+    ap.add_argument("--calls", type=int, default=100,
+                    help="jitted train calls (steps_per_call env steps each)")
+    ap.add_argument("--steps-per-call", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=4096)
+    ap.add_argument("--capacity", type=int, default=1 << 19)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--resume", default=None)
+    args = ap.parse_args()
+
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.envs.vector import VectorEnv
+    from marl_traffic_intersection_tpu.parallel.sac import SACConfig, SACLearner
+    from marl_traffic_intersection_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from marl_traffic_intersection_tpu.utils.profiling import StepsPerSecond
+
+    env = IntersectionEnv(EnvConfig(
+        num_agents=args.agents, traffic_flow=args.traffic,
+        traffic_density=args.density, max_steps=2000,
+        npc_mode=args.npc_mode))
+    venv = VectorEnv(env, num_envs=args.num_envs)
+    learner = SACLearner(venv, SACConfig(
+        lr=args.lr, batch_size=args.batch_size, warmup=args.warmup,
+        buffer_capacity=args.capacity, steps_per_call=args.steps_per_call))
+
+    ts = learner.init(jax.random.PRNGKey(args.seed))
+    if args.resume:
+        template = {"actor_params": jax.device_get(ts.actor_params),
+                    "q_params": jax.device_get(ts.q_params)}
+        ck = restore_checkpoint(args.resume, template=template)
+        ts = ts._replace(actor_params=ck["actor_params"],
+                         q_params=ck["q_params"],
+                         q_target=jax.tree.map(lambda x: x, ck["q_params"]))
+        print(f"resumed actor/critic params from {args.resume}")
+
+    state, obs = venv.reset(jax.random.PRNGKey(args.seed + 1))
+    step = jax.jit(learner.train_step, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(args.seed + 2)
+
+    meter = StepsPerSecond(
+        steps_per_tick=args.num_envs * args.steps_per_call)
+    for c in range(args.calls):
+        t0 = time.perf_counter()
+        ts, state, obs, key, metrics = step(ts, state, obs, key)
+        jax.block_until_ready(metrics["q_loss"])
+        meter.tick()
+        if c % 10 == 0 or c == args.calls - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(json.dumps({
+                "call": c, "secs": round(time.perf_counter() - t0, 3),
+                "env_steps_per_s": round(meter.value, 1),
+                "updates": int(ts.update_count),
+                **{k: round(v, 5) for k, v in m.items()}}))
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint,
+                        {"actor_params": ts.actor_params,
+                         "q_params": ts.q_params})
+        print(f"saved {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()
