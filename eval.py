@@ -81,11 +81,20 @@ def main():
     ap.add_argument("--max-steps", type=int, default=2000)
     ap.add_argument("--policy", choices=["scripted", "random", "checkpoint"],
                     default="scripted")
-    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru", "central"],
-                    default="mlp", help="model family of --checkpoint")
+    ap.add_argument("--model",
+                    choices=["mlp", "attention", "conv", "gru", "central",
+                             "sac"],
+                    default="mlp", help="model family of --checkpoint "
+                    "(sac = train_sac.py actor checkpoint)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                    help="single-env eval loops are latency-bound: CPU beats "
+                         "the tunneled TPU ~100x here (CLAUDE.md)")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
     from marl_traffic_intersection_tpu.core.constants import (
@@ -103,10 +112,16 @@ def main():
 
     model = params = None
     if args.policy == "checkpoint":
-        from marl_traffic_intersection_tpu.models import make_model
         from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-        model = make_model(args.model)
-        params = restore_checkpoint(args.checkpoint)["params"]
+        if args.model == "sac":
+            from marl_traffic_intersection_tpu.models.sac import (
+                SquashedGaussianActor)
+            model = SquashedGaussianActor()
+            params = restore_checkpoint(args.checkpoint)["actor_params"]
+        else:
+            from marl_traffic_intersection_tpu.models import make_model
+            model = make_model(args.model)
+            params = restore_checkpoint(args.checkpoint)["params"]
 
     rng = np.random.RandomState(args.seed)
     stats = dict(success=0, crash_car=0, crash_obj=0, steps=[], reward=[],
@@ -127,6 +142,9 @@ def main():
                 mean, log_std, _, h = model.apply(params, obs, h)
                 acts = np.tanh(np.asarray(mean))
                 h = np.asarray(h)  # reset after the step, below
+            elif args.model == "sac":
+                mean, _ = model.apply(params, obs)
+                acts = np.tanh(np.asarray(mean))
             else:
                 mean, log_std, _ = model.apply(params, obs)
                 acts = np.tanh(np.asarray(mean))

@@ -40,6 +40,9 @@ class PPOConfig:
     ent_coef: float = 0.01
     lr: float = 3e-4
     max_grad_norm: float = 0.5
+    critic_warmup: int = 0     # train_step calls with the actor loss masked
+                               # (fresh-critic fine-tunes, e.g. MAPPO warm
+                               # starts from a decentralized checkpoint)
 
 
 class TrainState(NamedTuple):
@@ -129,7 +132,7 @@ class PPOLearner:
         return advs, advs + traj.value
 
     # ------------------------------------------------------------------- update
-    def _loss(self, params, batch):
+    def _loss(self, params, batch, actor_on=1.0):
         cfg = self.cfg
         obs, raw, old_logp, adv, ret, old_value = batch
         mean, log_std, value = self.model.apply(params, obs)
@@ -142,7 +145,9 @@ class PPOLearner:
         v_clip = old_value + jnp.clip(value - old_value, -cfg.clip_eps, cfg.clip_eps)
         v_loss = 0.5 * jnp.maximum((value - ret) ** 2, (v_clip - ret) ** 2).mean()
         ent = entropy.mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        # actor_on gates the policy terms (critic-warmup phases); traced, so
+        # flipping it never recompiles
+        total = actor_on * (pg_loss - cfg.ent_coef * ent) + cfg.vf_coef * v_loss
         metrics = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
                        approx_kl=(old_logp - logp).mean())
         return total, metrics
@@ -164,8 +169,13 @@ class PPOLearner:
                 lambda x: x.reshape(mb, T // mb, *x.shape[1:]), shuffled)
 
             def minibatch(ts, batch):
+                # update_count ticks per minibatch; critic_warmup is in
+                # train_step units
+                per_step = cfg.update_epochs * cfg.num_minibatches
+                actor_on = (ts.update_count
+                            >= cfg.critic_warmup * per_step).astype(jnp.float32)
                 (loss, metrics), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(ts.params, batch)
+                    self._loss, has_aux=True)(ts.params, batch, actor_on)
                 updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
                 params = optax.apply_updates(ts.params, updates)
                 return TrainState(params, opt_state, ts.update_count + 1), metrics

@@ -212,6 +212,30 @@ class SACLearner:
                          update_count=ts.update_count + 1)
         return ts, metrics
 
+    # ------------------------------------------------------ demo collection
+    def collect(self, ts: SACState, env_state, obs, key, policy_fn,
+                steps: int):
+        """Fill the replay ring with ``steps`` env steps from an arbitrary
+        policy — demonstration seeding (SACfD-style warm start from e.g. a
+        trained PPO actor). No gradient updates; same aligned chunk inserts
+        as train_step, so it jits into one scan. ``policy_fn(key, obs) ->
+        action`` must be traceable."""
+        def one(carry, _):
+            ts, env_state, obs, key = carry
+            key, ka = jax.random.split(key)
+            action = policy_fn(ka, obs)
+            env_state2, out = self.env.step(env_state, action)
+            done = (out.terminated | out.truncated)[:, None] | out.done
+            flat = lambda x: x.reshape((self.chunk,) + x.shape[2:])
+            buf = self._insert(ts.buffer, flat(obs), flat(action),
+                               flat(out.reward), flat(out.obs),
+                               flat(done.astype(jnp.float32)))
+            return (ts._replace(buffer=buf), env_state2, out.obs, key), None
+
+        (ts, env_state, obs, key), _ = jax.lax.scan(
+            one, (ts, env_state, obs, key), None, length=steps)
+        return ts, env_state, obs, key
+
     # ----------------------------------------------------------- train step
     def train_step(self, ts: SACState, env_state, obs, key):
         """steps_per_call x [env step -> insert -> update]. Pure; jit with

@@ -37,8 +37,14 @@ def make_checkpoint_policy(checkpoint: str, model_kind: str):
     from marl_traffic_intersection_tpu.models import make_model
     from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
 
-    model = make_model(model_kind)
-    params = restore_checkpoint(checkpoint)["params"]
+    if model_kind == "sac":
+        from marl_traffic_intersection_tpu.models.sac import (
+            SquashedGaussianActor)
+        model = SquashedGaussianActor()
+        params = restore_checkpoint(checkpoint)["actor_params"]
+    else:
+        model = make_model(model_kind)
+        params = restore_checkpoint(checkpoint)["params"]
     fwd = jax.jit(model.apply)
     state = {"h": None}
 
@@ -47,6 +53,8 @@ def make_checkpoint_policy(checkpoint: str, model_kind: str):
             if state["h"] is None:
                 state["h"] = model.initial_hidden(obs2.shape[0])
             mean, _, _, state["h"] = fwd(params, obs2, state["h"])
+        elif model_kind == "sac":
+            mean, _ = fwd(params, obs2)
         else:
             mean, _, _ = fwd(params, obs2)
         return np.tanh(np.asarray(mean))
@@ -138,7 +146,9 @@ def main():
     ap.add_argument("--checkpoint", default=None,
                     help="drive with a trained policy instead of the Stanley "
                          "baseline (scripted mode only)")
-    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru"],
+    ap.add_argument("--model",
+                    choices=["mlp", "attention", "conv", "gru", "central",
+                             "sac"],
                     default="mlp", help="model family of --checkpoint")
     args = ap.parse_args()
 

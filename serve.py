@@ -33,12 +33,25 @@ def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
     from marl_traffic_intersection_tpu.models import make_model
     from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
 
-    model = make_model(model_kind)
-    params = restore_checkpoint(checkpoint)["params"]
+    if model_kind == "sac":
+        from marl_traffic_intersection_tpu.models.sac import (
+            SquashedGaussianActor)
+        model = SquashedGaussianActor()
+        params = restore_checkpoint(checkpoint)["actor_params"]
+    else:
+        model = make_model(model_kind)
+        params = restore_checkpoint(checkpoint)["params"]
     recurrent = model_kind == "gru"
     h_dim = model.gru if recurrent else 0
 
-    if recurrent:
+    if model_kind == "sac":
+        @jax.jit
+        def fwd(obs):
+            mean, log_std = model.apply(params, obs)
+            return jnp.tanh(mean), jnp.zeros(mean.shape[:-1], jnp.float32)
+
+        fwd(jnp.zeros((max_batch, 127), jnp.float32))
+    elif recurrent:
         @jax.jit
         def fwd(obs, h):
             mean, log_std, value, h2 = model.apply(params, obs, h)
@@ -144,7 +157,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--port", type=int, default=8787)
-    ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru", "central"],
+    ap.add_argument("--model",
+                    choices=["mlp", "attention", "conv", "gru", "central",
+                             "sac"],
                     default="mlp")
     ap.add_argument("--max-batch", type=int, default=256)
     args = ap.parse_args()

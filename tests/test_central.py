@@ -102,3 +102,54 @@ def test_mappo_sharded_train_step():
     state, obs = shard_env(state, obs)
     ts, state, obs, key, m = step(ts, state, obs, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["pg_loss"]))
+
+
+def test_mlp_actor_transplant_preserves_policy():
+    """scripts/warm_start_central.py contract: the central family's actor
+    tower shares module names/shapes with the flagship mlp, so a trained mlp
+    actor transplants into a central init without changing the policy."""
+    from marl_traffic_intersection_tpu.models import ActorCriticMLP
+
+    obs = jax.random.uniform(jax.random.PRNGKey(0), (5, 3, 127))
+    mlp = ActorCriticMLP()
+    mlp_params = mlp.init(jax.random.PRNGKey(1), obs[0])
+    central = CentralizedActorCritic()
+    params = jax.device_get(central.init(jax.random.PRNGKey(2), obs))
+    for k in list(params["params"]):
+        if k.startswith("torso_") or k in ("pi_mean", "log_std"):
+            params["params"][k] = mlp_params["params"][k]
+
+    m_ref, ls_ref, _ = mlp.apply(mlp_params, obs)
+    m_new, ls_new, _ = central.apply(params, obs)
+    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_new))
+    np.testing.assert_array_equal(np.asarray(ls_ref), np.asarray(ls_new))
+
+
+def test_critic_warmup_freezes_actor():
+    """PPOConfig.critic_warmup masks the actor loss for the first K updates:
+    the central family's actor tower is disjoint from its critic tower, so the
+    policy must be bit-unchanged during warmup, then start moving."""
+    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=64))
+    venv = VectorEnv(env, num_envs=4)
+    model = CentralizedActorCritic(hidden=(32, 32), embed=16)
+    learner = PPOLearner(venv, model,
+                         PPOConfig(rollout_len=8, num_minibatches=2,
+                                   update_epochs=2, critic_warmup=1))
+    ts = learner.init(jax.random.PRNGKey(0))
+    state, obs = venv.reset(jax.random.PRNGKey(1))
+    step = jax.jit(learner.train_step)
+
+    p0 = jax.device_get(ts.params)
+    ts1, state, obs, key, _ = step(ts, state, obs, jax.random.PRNGKey(2))
+    p1 = jax.device_get(ts1.params)
+    np.testing.assert_array_equal(p0["params"]["pi_mean"]["kernel"],
+                                  p1["params"]["pi_mean"]["kernel"])
+    np.testing.assert_array_equal(p0["params"]["torso_0"]["kernel"],
+                                  p1["params"]["torso_0"]["kernel"])
+    assert not np.array_equal(p0["params"]["critic_embed"]["kernel"],
+                              p1["params"]["critic_embed"]["kernel"])
+
+    ts2, *_ = step(ts1, state, obs, key)
+    p2 = jax.device_get(ts2.params)
+    assert not np.array_equal(p1["params"]["pi_mean"]["kernel"],
+                              p2["params"]["pi_mean"]["kernel"])

@@ -99,3 +99,26 @@ def test_sac_fits_trivial_q():
         ts, state, obs, key, m = step(ts, state, obs, key)
     assert np.isfinite(float(m["mean_q"]))
     assert float(m["buffer_size"]) > 0
+
+
+def test_demo_collect_seeds_buffer():
+    """collect() fills the ring from an arbitrary policy (train_sac.py --demo
+    demonstration seeding) without running gradient updates."""
+    ln = _learner(num_envs=4, agents=2, buffer_capacity=128)
+    ts = ln.init(jax.random.PRNGKey(0))
+    state, obs = ln.env.reset(jax.random.PRNGKey(1))
+
+    policy = lambda k, o: jnp.tanh(jax.random.normal(k, o.shape[:-1] + (2,)))
+    import functools
+    collect = jax.jit(functools.partial(ln.collect, policy_fn=policy,
+                                        steps=3))
+    ts2, state, obs, key = collect(ts, state, obs, jax.random.PRNGKey(2))
+    seeded = int(ts2.buffer.size)
+    assert seeded == 3 * ln.chunk
+    assert int(ts2.update_count) == 0
+    # inserted obs rows are real observations, not zeros
+    assert np.abs(np.asarray(ts2.buffer.obs[:ln.chunk])).sum() > 0
+    # training proceeds from the seeded state (ts2 is donated here)
+    step = jax.jit(ln.train_step, donate_argnums=(0, 1))
+    ts3, *_ = step(ts2, state, obs, jax.random.PRNGKey(3))
+    assert int(ts3.buffer.size) > seeded

@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--tp", type=int, default=1, help="model-axis size")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--ent-coef", type=float, default=0.01)
+    ap.add_argument("--critic-warmup", type=int, default=0,
+                    help="updates with the actor loss masked while a fresh "
+                         "critic fits (MAPPO warm starts: the central critic "
+                         "tower is separate from the actor, so the policy is "
+                         "untouched during warmup)")
     ap.add_argument("--norm-reward", action="store_true",
                     help="running discounted-return reward normalization")
     ap.add_argument("--curriculum", default=None,
@@ -179,7 +184,8 @@ def main():
             venv = RewardNormVecEnv(venv)
         learner_cls = RecurrentPPOLearner if args.model == "gru" else PPOLearner
         learner = learner_cls(venv, model, PPOConfig(
-            rollout_len=rollout_len, lr=lr, ent_coef=ent_coef))
+            rollout_len=rollout_len, lr=lr, ent_coef=ent_coef,
+            critic_warmup=args.critic_warmup))
 
         if ts is None:
             ts = learner.init(jax.random.PRNGKey(args.seed))

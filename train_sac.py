@@ -31,6 +31,27 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--warmup", type=int, default=4096)
     ap.add_argument("--capacity", type=int, default=1 << 19)
+    ap.add_argument("--routes", default=None,
+                    help="restrict ego route sampling to a fixed pool, e.g. "
+                         "'IN_6:OUT_2,IN_1:OUT_7' (default: all mapped routes)")
+    ap.add_argument("--demo", default=None,
+                    help="PPO checkpoint whose actor seeds the replay buffer "
+                         "with demonstration transitions before training "
+                         "(off-policy warm start)")
+    ap.add_argument("--demo-model", default="mlp",
+                    help="model family of --demo")
+    ap.add_argument("--demo-steps", type=int, default=200,
+                    help="env steps of demonstrations (x num_envs x agents "
+                         "transitions)")
+    ap.add_argument("--demo-noise", type=float, default=0.1,
+                    help="pre-tanh gaussian exploration noise on demo actions")
+    ap.add_argument("--demo-every", type=int, default=0,
+                    help="every K train calls, refresh the ring with "
+                         "--demo-refresh demo steps (keeps demonstrations "
+                         "from being overwritten by self-play)")
+    ap.add_argument("--demo-refresh", type=int, default=8)
+    ap.add_argument("--target-entropy", type=float, default=None,
+                    help="SAC entropy target (default -act_dim)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", default=None)
@@ -47,10 +68,15 @@ def main():
         num_agents=args.agents, traffic_flow=args.traffic,
         traffic_density=args.density, max_steps=2000,
         npc_mode=args.npc_mode))
-    venv = VectorEnv(env, num_envs=args.num_envs)
+    route_pool = None
+    if args.routes:
+        pairs = [tuple(p.split(":")) for p in args.routes.split(",")]
+        route_pool = env.table.route_ids(pairs)
+    venv = VectorEnv(env, num_envs=args.num_envs, route_pool=route_pool)
     learner = SACLearner(venv, SACConfig(
         lr=args.lr, batch_size=args.batch_size, warmup=args.warmup,
-        buffer_capacity=args.capacity, steps_per_call=args.steps_per_call))
+        buffer_capacity=args.capacity, steps_per_call=args.steps_per_call,
+        target_entropy=args.target_entropy))
 
     ts = learner.init(jax.random.PRNGKey(args.seed))
     if args.resume:
@@ -66,10 +92,41 @@ def main():
     step = jax.jit(learner.train_step, donate_argnums=(0, 1))
     key = jax.random.PRNGKey(args.seed + 2)
 
+    if args.demo:
+        import functools
+
+        import jax.numpy as jnp
+
+        from marl_traffic_intersection_tpu.models import make_model
+        demo_model = make_model(args.demo_model)
+        demo_params = restore_checkpoint(args.demo)["params"]
+
+        def demo_policy(k, obs):
+            mean, _log_std, _v = demo_model.apply(demo_params, obs)
+            noise = args.demo_noise * jax.random.normal(k, mean.shape)
+            return jnp.tanh(mean + noise)
+
+        collect = jax.jit(functools.partial(
+            learner.collect, policy_fn=demo_policy, steps=args.demo_steps),
+            donate_argnums=(0, 1))
+        t0 = time.perf_counter()
+        ts, state, obs, key = collect(ts, state, obs, key)
+        jax.block_until_ready(ts.buffer.size)
+        print(json.dumps({
+            "demo_transitions": int(ts.buffer.size),
+            "secs": round(time.perf_counter() - t0, 2)}))
+        refresh = None
+        if args.demo_every:
+            refresh = jax.jit(functools.partial(
+                learner.collect, policy_fn=demo_policy,
+                steps=args.demo_refresh), donate_argnums=(0, 1))
+
     meter = StepsPerSecond(
         steps_per_tick=args.num_envs * args.steps_per_call)
     for c in range(args.calls):
         t0 = time.perf_counter()
+        if args.demo and args.demo_every and c % args.demo_every == 0:
+            ts, state, obs, key = refresh(ts, state, obs, key)
         ts, state, obs, key, metrics = step(ts, state, obs, key)
         jax.block_until_ready(metrics["q_loss"])
         meter.tick()
