@@ -104,6 +104,11 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="restore params/opt_state/update from a checkpoint")
     ap.add_argument("--tb", default=None, help="TensorBoard log dir")
+    ap.add_argument("--log-every", type=int, default=10,
+                    help="host-sync metrics every K updates; between logs the "
+                         "loop dispatches asynchronously (each per-update "
+                         "metric fetch costs ~10 tunnel round-trips, ~30%% "
+                         "of end-to-end throughput at 4096 envs)")
     args = ap.parse_args()
 
     if args.distributed:
@@ -219,20 +224,34 @@ def main():
             state, obs = shard_env(state, obs)
 
         meter = StepsPerSecond(steps_per_tick=args.num_envs * rollout_len)
+        last = start_update + updates - 1
+        t_log = time.perf_counter()
+        last_log_u = start_update - 1
         for u in range(start_update, start_update + updates):
-            t0 = time.perf_counter()
             if recurrent:
                 ts, state, obs, h, key, metrics = step(ts, state, obs, h, key)
             else:
                 ts, state, obs, key, metrics = step(ts, state, obs, key)
+            log_now = (u - start_update) % args.log_every == 0 or u == last
+            if not log_now:
+                meter.tick()
+                if args.checkpoint_every and (u + 1) % args.checkpoint_every == 0:
+                    save(u + 1, ts)
+                continue
+            # host sync only at log points: each float() below is a tunnel
+            # round-trip, so between logs updates pipeline on the device
             jax.block_until_ready(metrics["pg_loss"])
             meter.tick()
             if jax.process_index() == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                now = time.perf_counter()
+                span = u - last_log_u
                 print(json.dumps({
-                    "update": u, "secs": round(time.perf_counter() - t0, 3),
+                    "update": u,
+                    "secs": round((now - t_log) / span, 3),
                     "env_steps_per_s": round(meter.value, 1),
                     **{k: round(v, 5) for k, v in m.items()}}))
+                t_log, last_log_u = now, u
                 if tb is not None:
                     for k, v in m.items():
                         tb.add_scalar(k, v, u)

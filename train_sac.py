@@ -128,9 +128,11 @@ def main():
         if args.demo and args.demo_every and c % args.demo_every == 0:
             ts, state, obs, key = refresh(ts, state, obs, key)
         ts, state, obs, key, metrics = step(ts, state, obs, key)
-        jax.block_until_ready(metrics["q_loss"])
         meter.tick()
         if c % 10 == 0 or c == args.calls - 1:
+            # host sync only at log points (tunnel round-trips dominate
+            # per-call latency otherwise)
+            jax.block_until_ready(metrics["q_loss"])
             m = {k: float(v) for k, v in metrics.items()}
             print(json.dumps({
                 "call": c, "secs": round(time.perf_counter() - t0, 3),
