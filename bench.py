@@ -43,13 +43,16 @@ def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int,
 
     @jax.jit
     def multi_step(state):
+        # the obs checksum keeps the full (B, N, 127) observation build alive
+        # (XLA would otherwise dead-code-eliminate it off the carried state,
+        # overstating throughput vs what a real consumer sees)
         def body(s, _):
             s2, out = venv.step(s, actions)
-            return s2, ()
-        s, _ = jax.lax.scan(body, state, None, length=inner)
-        return s
+            return s2, out.obs.sum()
+        s, chk = jax.lax.scan(body, state, None, length=inner)
+        return s, chk.sum()
 
-    state = multi_step(state)  # compile + warmup
+    state, _chk = multi_step(state)  # compile + warmup
     jax.block_until_ready(state)
 
     # best of 3 measurement blocks: the single-chip tunnel adds occasional
@@ -58,7 +61,7 @@ def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int,
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state = multi_step(state)
+            state, _chk = multi_step(state)
         jax.block_until_ready(state)
         dt = time.perf_counter() - t0
         best = max(best, (num_envs * inner * iters) / dt)

@@ -487,21 +487,37 @@ class IntersectionEnv:
         dist = jnp.sqrt(dx * dx + dy * dy)
         not_self = jnp.arange(k_tot)[None, :] != jnp.arange(n)[:, None]
         nmask = kmask[None, :] & not_self
-        order = jnp.argsort(jnp.where(nmask, dist, jnp.inf), axis=-1)  # (N, K)
-        sel = order[:, :NEIGHBOR_COUNT]                     # (N, 5)
-        navail = jnp.sum(nmask, axis=-1)                    # (N,)
-        kvalid = jnp.arange(NEIGHBOR_COUNT)[None, :] < navail[:, None]
 
-        def g(a):
-            return jnp.take_along_axis(jnp.broadcast_to(a[None, :], (n, k_tot)), sel, axis=-1)
-
-        ndx = (g(kx) - x[:, None]) / _F(WIDTH)
-        ndy = (g(ky) - y[:, None]) / _F(HEIGHT)
-        ndv = (g(kv) - v[:, None]) / _F(PHYSICS_MAX_SPEED)
-        ndth = wrap_angle(g(kh) - heading[:, None]) / _PI32
-        nint = g(ki).astype(_F)
-        nfeat = jnp.stack([ndx, ndy, ndv, ndth, nint], axis=-1)  # (N, 5, 5)
-        nfeat = jnp.where(kvalid[..., None], nfeat, _F(0.0)).reshape(n, 5 * NEIGHBOR_COUNT)
+        # Top-5-nearest via 5 rounds of masked argmin + one-hot contraction
+        # instead of argsort + take_along_axis: XLA's sort/gather lowering
+        # staged hundreds of tiny S(1) copies per step (the single biggest
+        # cost of the whole batched step at 4096x4 — see PERF.md). Ties break
+        # to the lowest index (== stable ascending argsort == the order the
+        # reference's std::sort produces, IntersectionEnv.cpp:490); unfilled
+        # slots contract against an all-false one-hot and come out zero,
+        # matching the reference's zero padding.
+        dmasked = jnp.where(nmask, dist, jnp.inf)
+        kint = ki.astype(_F)
+        rows = []
+        taken = jnp.zeros_like(nmask)
+        for _ in range(NEIGHBOR_COUNT):
+            d = jnp.where(taken, jnp.inf, dmasked)          # (N, K)
+            m = jnp.min(d, axis=-1, keepdims=True)
+            oh = (d == m) & jnp.isfinite(d)
+            oh &= jnp.cumsum(oh.astype(jnp.int32), axis=-1) == 1
+            taken |= oh
+            ohf = oh.astype(_F)
+            pick = lambda a: jnp.sum(ohf * a[None, :], axis=-1)   # (N,)
+            valid = jnp.any(oh, axis=-1)
+            feat = jnp.stack([
+                (pick(kx) - x) / _F(WIDTH),
+                (pick(ky) - y) / _F(HEIGHT),
+                (pick(kv) - v) / _F(PHYSICS_MAX_SPEED),
+                wrap_angle(pick(kh) - heading) / _PI32,
+                pick(kint),
+            ], axis=-1)                                     # (N, 5)
+            rows.append(jnp.where(valid[:, None], feat, _F(0.0)))
+        nfeat = jnp.stack(rows, axis=-2).reshape(n, 5 * NEIGHBOR_COUNT)
 
         o_lidar = state.lidar / _F(LIDAR_MAX_DIST)
 
