@@ -47,8 +47,25 @@ class VectorEnv:
     def _reset_state_one(self, key) -> EnvState:
         krt, kst = jax.random.split(key)
         n = self.env.config.num_agents
-        replace = self.route_pool.shape[0] < n
-        rids = jax.random.choice(krt, self.route_pool, (n,), replace=replace)
+        pool = self.route_pool
+        p = pool.shape[0]
+        if p < n:
+            rids = jax.random.choice(krt, pool, (n,), replace=True)
+        else:
+            # uniform n-subset without replacement via n rounds of masked
+            # argmin over iid uniforms (same distribution as
+            # jax.random.choice(replace=False), which lowers to a full sort —
+            # XLA stages (B, pool) sort copies in every auto-reset step)
+            u = jax.random.uniform(krt, (p,))
+            rows = []
+            taken = jnp.zeros((p,), bool)
+            for _ in range(n):
+                d = jnp.where(taken, jnp.inf, u)
+                oh = d == jnp.min(d)
+                oh &= jnp.cumsum(oh.astype(jnp.int32)) == 1
+                taken |= oh
+                rows.append(jnp.sum(jnp.where(oh, pool, 0), dtype=jnp.int32))
+            rids = jnp.stack(rows)
         return self.env.reset_state(kst, rids)
 
     def reset(self, key) -> Tuple[EnvState, jnp.ndarray]:
