@@ -323,3 +323,35 @@ def test_shipped_sac_artifact_solves_config1():
     assert bool(out.terminated), "did not finish the route"
     assert int(out.status[0]) == STATUS_SUCCESS
     assert t < 200, t
+
+
+def test_shipped_sac_multi_artifact_solves_config1():
+    """The multi-agent demonstration-seeded SAC checkpoint must still solve
+    config 1 (agent-shared actor deploys at any agent count)."""
+    import pathlib
+    import jax.numpy as jnp
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
+    from marl_traffic_intersection_tpu.models.sac import SquashedGaussianActor
+    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+
+    art = (pathlib.Path(__file__).resolve().parent.parent
+           / "artifacts" / "policy_sac_multi")
+    if not art.exists():
+        pytest.skip("no artifact")
+    params = restore_checkpoint(str(art))["actor_params"]
+    model = SquashedGaussianActor()
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
+    state, obs = env.reset(jax.random.PRNGKey(7),
+                           env.table.route_ids([("IN_6", "OUT_2")]))
+    step = jax.jit(env.step)
+    fwd = jax.jit(model.apply)
+    for t in range(400):
+        mean, _ = fwd(params, obs)
+        state, out = step(state, jnp.tanh(mean))
+        obs = out.obs
+        if bool(out.terminated):
+            break
+    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
+    assert t < 200, t
