@@ -110,18 +110,10 @@ def main():
     rids = env.table.route_ids(routes)
     step = jax.jit(env.step)
 
-    model = params = None
+    model = params = mean_fn = None
     if args.policy == "checkpoint":
-        from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-        if args.model == "sac":
-            from marl_traffic_intersection_tpu.models.sac import (
-                SquashedGaussianActor)
-            model = SquashedGaussianActor()
-            params = restore_checkpoint(args.checkpoint)["actor_params"]
-        else:
-            from marl_traffic_intersection_tpu.models import make_model
-            model = make_model(args.model)
-            params = restore_checkpoint(args.checkpoint)["params"]
+        from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
+        model, params, mean_fn = load_policy(args.checkpoint, args.model)
 
     rng = np.random.RandomState(args.seed)
     stats = dict(success=0, crash_car=0, crash_obj=0, steps=[], reward=[],
@@ -142,12 +134,8 @@ def main():
                 mean, log_std, _, h = model.apply(params, obs, h)
                 acts = np.tanh(np.asarray(mean))
                 h = np.asarray(h)  # reset after the step, below
-            elif args.model == "sac":
-                mean, _ = model.apply(params, obs)
-                acts = np.tanh(np.asarray(mean))
             else:
-                mean, log_std, _ = model.apply(params, obs)
-                acts = np.tanh(np.asarray(mean))
+                acts = np.tanh(np.asarray(mean_fn(params, obs)))
             state, out = step(state, jnp.asarray(acts, jnp.float32))
             obs = out.obs
             if args.model == "gru" and model is not None:

@@ -104,6 +104,8 @@ class GymnasiumIntersectionEnv(*([] if gymnasium is None else [gymnasium.Env])):
         return np.asarray(obs)[0], {}
 
     def step(self, action):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
         a = jnp.asarray(np.asarray(action, np.float32).reshape(1, 2))
         self._state, out = self._jit_step(self._state, a)
         status = STATUS_NAMES[int(np.asarray(out.status)[0])]
@@ -115,6 +117,8 @@ class GymnasiumIntersectionEnv(*([] if gymnasium is None else [gymnasium.Env])):
     def render(self):
         if self.render_mode != "rgb_array":
             return None
+        if self._state is None:
+            raise RuntimeError("call reset() before render()")
         if self._renderer is None:
             from ..render.draw import Renderer
             self._renderer = Renderer(self._core)
@@ -147,7 +151,9 @@ class GymnasiumVectorEnv(
         pool = core.table.route_ids(routes) if config.get("ego_routes") \
             else None
         self._venv = VectorEnv(core, num_envs=num_envs, route_pool=pool)
-        self._jit_step = jax.jit(self._venv.step)
+        import functools
+        self._jit_step = jax.jit(functools.partial(self._venv.step,
+                                                   final_obs=True))
         self._state = None
         self._key = jax.random.PRNGKey(seed)
 
@@ -175,14 +181,31 @@ class GymnasiumVectorEnv(
         return np.asarray(obs)[:, 0], {}
 
     def step(self, actions):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
         a = jnp.asarray(np.asarray(actions, np.float32)
                         .reshape(self.num_envs, 1, 2))
-        self._state, out = self._jit_step(self._state, a)
+        self._state, out, term_obs = self._jit_step(self._state, a)
+        term = np.asarray(out.terminated)
+        trunc = np.asarray(out.truncated)
+        infos = {}
+        done = term | trunc
+        if done.any():
+            # gymnasium SAME_STEP contract: the TERMINAL observation of each
+            # finished episode rides in infos (the returned obs is already
+            # the fresh post-reset one) — object arrays + boolean mask, same
+            # layout as gymnasium.vector.SyncVectorEnv._add_info
+            fo = np.full(self.num_envs, None, dtype=object)
+            fi = np.full(self.num_envs, None, dtype=object)
+            t_obs = np.asarray(term_obs)[:, 0]
+            for i in np.nonzero(done)[0]:
+                fo[i] = t_obs[i]
+                fi[i] = {}
+            infos = {"final_obs": fo, "_final_obs": done.copy(),
+                     "final_info": fi, "_final_info": done.copy()}
         return (np.asarray(out.obs)[:, 0],
                 np.asarray(out.reward)[:, 0],
-                np.asarray(out.terminated),
-                np.asarray(out.truncated),
-                {})
+                term, trunc, infos)
 
     def close_extras(self, **kwargs):
         pass

@@ -86,9 +86,15 @@ class VectorEnv:
         fn = partial(self.step, dt=dt)
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
-    def step(self, state: EnvState, actions, dt=DT_DEFAULT
-             ) -> Tuple[EnvState, StepOutput]:
-        """Batched step; actions (B, N, 2). Auto-resets finished envs."""
+    def step(self, state: EnvState, actions, dt=DT_DEFAULT,
+             final_obs: bool = False):
+        """Batched step; actions (B, N, 2). Auto-resets finished envs.
+
+        final_obs=True additionally returns the TERMINAL observation of the
+        stepped (pre-reset) state as a third value — the gymnasium SAME_STEP
+        autoreset contract needs it for truncation bootstrapping. Costs one
+        extra observe over the batch; the default path stays single-observe.
+        """
         if not self.auto_reset:
             return jax.vmap(partial(self.env.step, dt=dt))(state, actions)
 
@@ -107,4 +113,7 @@ class VectorEnv:
 
         merged = jax.tree.map(pick, fresh_state, new_state)
         obs = jax.vmap(self.env.observe)(merged)
+        if final_obs:
+            term_obs = jax.vmap(self.env.observe)(new_state)
+            return merged, out._replace(obs=obs), term_obs
         return merged, out._replace(obs=obs)

@@ -79,7 +79,7 @@ class RecurrentPPOLearner(PPOLearner):
         return env_state, obs, h, key, traj, last_value
 
     # --------------------------------------------------------------- chunk loss
-    def _loss(self, params, batch):
+    def _loss(self, params, batch, actor_on=1.0):
         cfg = self.cfg
         obs, h0, done, raw, old_logp, adv, ret, old_value = batch
         # replay the GRU over the chunk from the (stop-gradient) entry hidden
@@ -103,7 +103,10 @@ class RecurrentPPOLearner(PPOLearner):
                                       -cfg.clip_eps, cfg.clip_eps)
         v_loss = 0.5 * jnp.maximum((value - ret) ** 2, (v_clip - ret) ** 2).mean()
         ent = entropy.mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        # actor_on gates the policy terms (PPOConfig.critic_warmup), same
+        # contract as the base learner
+        total = (actor_on * (pg_loss - cfg.ent_coef * ent)
+                 + cfg.vf_coef * v_loss)
         metrics = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
                        approx_kl=(old_logp - logp).mean())
         return total, metrics
@@ -132,8 +135,11 @@ class RecurrentPPOLearner(PPOLearner):
             shuffled = jax.tree.map(lambda x: x[perm], data)
 
             def minibatch(ts, batch):
+                per_step = cfg.update_epochs * cfg.num_minibatches
+                actor_on = (ts.update_count >= cfg.critic_warmup
+                            * per_step).astype(jnp.float32)
                 (loss, metrics), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(ts.params, batch)
+                    self._loss, has_aux=True)(ts.params, batch, actor_on)
                 updates, opt_state = self.tx.update(grads, ts.opt_state,
                                                     ts.params)
                 params = optax.apply_updates(ts.params, updates)

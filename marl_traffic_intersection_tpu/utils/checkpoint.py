@@ -43,3 +43,27 @@ def restore_checkpoint(path: str, template: Any = None) -> Any:
         return jax.tree.map(
             lambda t, r: t if np.asarray(t).size == 0 else r, template, restored)
     return ckpt.restore(p)
+
+
+def load_policy(checkpoint: str, model_kind: str):
+    """Load a trained policy of any family for deterministic inference.
+
+    Single place for the per-family checkpoint layout (PPO families store
+    {"params": ...}; SAC stores {"actor_params": ...}) shared by
+    eval.py / play.py / serve.py. Returns ``(model, params, mean_fn)`` where
+    ``mean_fn(params, obs) -> pre-tanh action mean`` for the feedforward
+    families; ``mean_fn`` is None for 'gru' (callers thread the hidden state
+    through ``model.apply(params, obs, h)`` themselves).
+    """
+    if model_kind == "sac":
+        from ..models.sac import SquashedGaussianActor
+        model = SquashedGaussianActor()
+        params = restore_checkpoint(checkpoint)["actor_params"]
+        mean_fn = lambda p, o: model.apply(p, o)[0]
+    else:
+        from ..models import make_model
+        model = make_model(model_kind)
+        params = restore_checkpoint(checkpoint)["params"]
+        mean_fn = (None if model_kind == "gru"
+                   else (lambda p, o: model.apply(p, o)[0]))
+    return model, params, mean_fn

@@ -34,18 +34,10 @@ def make_checkpoint_policy(checkpoint: str, model_kind: str):
     import jax
     import numpy as np
 
-    from marl_traffic_intersection_tpu.models import make_model
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+    from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
 
-    if model_kind == "sac":
-        from marl_traffic_intersection_tpu.models.sac import (
-            SquashedGaussianActor)
-        model = SquashedGaussianActor()
-        params = restore_checkpoint(checkpoint)["actor_params"]
-    else:
-        model = make_model(model_kind)
-        params = restore_checkpoint(checkpoint)["params"]
-    fwd = jax.jit(model.apply)
+    model, params, mean_fn = load_policy(checkpoint, model_kind)
+    fwd = jax.jit(model.apply if mean_fn is None else mean_fn)
     state = {"h": None}
 
     def policy(obs2):
@@ -53,10 +45,8 @@ def make_checkpoint_policy(checkpoint: str, model_kind: str):
             if state["h"] is None:
                 state["h"] = model.initial_hidden(obs2.shape[0])
             mean, _, _, state["h"] = fwd(params, obs2, state["h"])
-        elif model_kind == "sac":
-            mean, _ = fwd(params, obs2)
         else:
-            mean, _, _ = fwd(params, obs2)
+            mean = fwd(params, obs2)
         return np.tanh(np.asarray(mean))
 
     return policy

@@ -30,28 +30,13 @@ def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
     import jax
     import jax.numpy as jnp
 
-    from marl_traffic_intersection_tpu.models import make_model
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+    from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
 
-    if model_kind == "sac":
-        from marl_traffic_intersection_tpu.models.sac import (
-            SquashedGaussianActor)
-        model = SquashedGaussianActor()
-        params = restore_checkpoint(checkpoint)["actor_params"]
-    else:
-        model = make_model(model_kind)
-        params = restore_checkpoint(checkpoint)["params"]
+    model, params, mean_fn = load_policy(checkpoint, model_kind)
     recurrent = model_kind == "gru"
     h_dim = model.gru if recurrent else 0
 
-    if model_kind == "sac":
-        @jax.jit
-        def fwd(obs):
-            mean, log_std = model.apply(params, obs)
-            return jnp.tanh(mean), jnp.zeros(mean.shape[:-1], jnp.float32)
-
-        fwd(jnp.zeros((max_batch, 127), jnp.float32))
-    elif recurrent:
+    if recurrent:
         @jax.jit
         def fwd(obs, h):
             mean, log_std, value, h2 = model.apply(params, obs, h)
@@ -62,8 +47,7 @@ def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
     else:
         @jax.jit
         def fwd(obs):
-            mean, log_std, value = model.apply(params, obs)
-            return jnp.tanh(mean), value
+            return jnp.tanh(mean_fn(params, obs))
 
         # warm up the fixed-shape program
         fwd(jnp.zeros((max_batch, 127), jnp.float32))
@@ -85,7 +69,7 @@ def make_policy(checkpoint: str, model_kind: str = "mlp", max_batch: int = 256,
                 hp[:n] = h
             actions, h2 = fwd(padded, hp)
             return np.asarray(actions)[:n], np.asarray(h2)[:n]
-        actions, _ = fwd(padded)
+        actions = fwd(padded)
         return np.asarray(actions)[:n], None
 
     act.h_dim = h_dim  # 0 for feedforward families; used for /act validation

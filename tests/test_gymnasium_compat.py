@@ -76,3 +76,33 @@ def test_vector_env_gymnasium_wrapper_compat():
         obs, rew, term, trunc, info = wrapped.step(
             np.zeros((4, 2), np.float32))
     assert obs.shape == (4, 127)
+
+
+def test_vector_env_same_step_final_obs():
+    """SAME_STEP contract: finished episodes put their TERMINAL observation
+    in infos['final_obs'] (the returned obs is the post-reset one), with the
+    SyncVectorEnv-style object-array + boolean-mask layout."""
+    venv = GymnasiumVectorEnv(4, {"max_steps": 6}, seed=2)
+    obs, info = venv.reset()
+    final_seen = False
+    for t in range(8):
+        prev_obs = obs
+        obs, rew, term, trunc, infos = venv.step(np.zeros((4, 2), np.float32))
+        done = term | trunc
+        if done.any():
+            final_seen = True
+            assert set(infos) >= {"final_obs", "_final_obs",
+                                  "final_info", "_final_info"}
+            np.testing.assert_array_equal(infos["_final_obs"], done)
+            for i in range(4):
+                if done[i]:
+                    fo = infos["final_obs"][i]
+                    assert fo.shape == (127,)
+                    # terminal obs of the OLD episode, not the fresh reset:
+                    # step count advanced, so it differs from the reset obs
+                    assert not np.array_equal(fo, obs[i])
+                else:
+                    assert infos["final_obs"][i] is None
+        else:
+            assert infos == {}
+    assert final_seen  # max_steps=6 < 8 steps: must have truncated

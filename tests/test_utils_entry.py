@@ -89,28 +89,48 @@ def test_train_state_checkpoint_resume_structure(tmp_path):
     step(ts2, state, obs, key)
 
 
-def test_shipped_policy_artifact_solves_config1():
-    """The committed checkpoint must solve config 1 deterministically."""
+
+ARTIFACTS = [  # (artifact dir, model family of utils.checkpoint.load_policy)
+    ("policy_mlp_cfg1", "mlp"),
+    ("policy_mlp_multi", "mlp"),
+    ("policy_attn_cfg1", "attention"),
+    ("policy_conv_cfg1", "conv"),
+    ("policy_gru_cfg1", "gru"),
+    ("policy_central_multi", "central"),
+    ("policy_sac_cfg1", "sac"),
+    ("policy_sac_multi", "sac"),
+]
+
+
+@pytest.mark.parametrize("name,kind", ARTIFACTS,
+                         ids=[a for a, _ in ARTIFACTS])
+def test_shipped_artifacts_solve_config1(name, kind):
+    """Every committed checkpoint must solve config 1 deterministically
+    (fixed route IN_6->OUT_2, <200 steps, SUCCESS status). One shared
+    harness over utils.checkpoint.load_policy — the same loader eval.py /
+    play.py / serve.py use."""
     import pathlib
     import jax.numpy as jnp
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
     from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models import ActorCriticMLP
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+    from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
 
-    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_mlp_cfg1"
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / name
     if not art.exists():
         pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["params"]
-    model = ActorCriticMLP()
+    model, params, mean_fn = load_policy(str(art), kind)
+    fwd = jax.jit(model.apply if mean_fn is None else mean_fn)
 
     env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
     state, obs = env.reset(jax.random.PRNGKey(7),
                            env.table.route_ids([("IN_6", "OUT_2")]))
     step = jax.jit(env.step)
-    fwd = jax.jit(model.apply)
+    h = model.initial_hidden(1) if kind == "gru" else None
     for t in range(400):
-        mean, _, _ = fwd(params, obs)
+        if kind == "gru":
+            mean, _, _, h = fwd(params, obs, h)
+        else:
+            mean = fwd(params, obs)
         state, out = step(state, jnp.tanh(mean))
         obs = out.obs
         if bool(out.terminated):
@@ -120,37 +140,23 @@ def test_shipped_policy_artifact_solves_config1():
     assert t < 200, t
 
 
-def test_shipped_multiagent_artifact_solves_config1_and_runs_config4():
-    """The collision-tuned checkpoint must keep solving config 1; on a short
-    config-4 (8 egos + traffic) horizon it must complete routes."""
+def test_shipped_multiagent_artifact_runs_config4():
+    """The collision-tuned checkpoint must complete routes on a short
+    config-4 (8 egos + traffic) horizon."""
     import pathlib
     import numpy as np
     import jax.numpy as jnp
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
     from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
     from marl_traffic_intersection_tpu.core.routes import default_ego_routes
-    from marl_traffic_intersection_tpu.models import ActorCriticMLP
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
+    from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
 
-    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_mlp_multi"
+    art = (pathlib.Path(__file__).resolve().parent.parent
+           / "artifacts" / "policy_mlp_multi")
     if not art.exists():
         pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["params"]
-    model = ActorCriticMLP()
-    fwd = jax.jit(model.apply)
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    step = jax.jit(env.step)
-    for t in range(400):
-        mean, _, _ = fwd(params, obs)
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t
+    _, params, mean_fn = load_policy(str(art), "mlp")
+    fwd = jax.jit(mean_fn)
 
     env4 = IntersectionEnv(EnvConfig(num_agents=8, traffic_flow=True,
                                      traffic_density=1.0, max_steps=400))
@@ -160,198 +166,9 @@ def test_shipped_multiagent_artifact_solves_config1_and_runs_config4():
     prev = np.zeros(8, np.int32)
     successes = 0
     for t in range(300):
-        mean, _, _ = fwd(params, obs)
-        state, out = step4(state, jnp.tanh(mean))
+        state, out = step4(state, jnp.tanh(fwd(params, obs)))
         obs = out.obs
         st = np.asarray(out.status)
         successes += int(((st == STATUS_SUCCESS) & (prev != STATUS_SUCCESS)).sum())
         prev = st
     assert successes >= 4, successes  # several route completions in 300 steps
-
-
-def test_shipped_attention_artifact_solves_config1():
-    """The committed attention-family checkpoint must solve config 1."""
-    import pathlib
-    import jax.numpy as jnp
-    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
-    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models import SceneTransformerPolicy
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-
-    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_attn_cfg1"
-    if not art.exists():
-        pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["params"]
-    model = SceneTransformerPolicy()
-    fwd = jax.jit(model.apply)
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    step = jax.jit(env.step)
-    for t in range(400):
-        mean, _, _ = fwd(params, obs)
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t
-
-
-def test_shipped_gru_artifact_solves_config1():
-    """The committed recurrent-family checkpoint must solve config 1."""
-    import pathlib
-    import jax.numpy as jnp
-    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
-    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models import RecurrentActorCritic
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-
-    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_gru_cfg1"
-    if not art.exists():
-        pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["params"]
-    model = RecurrentActorCritic()
-    fwd = jax.jit(model.apply)
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    h = model.initial_hidden(1)
-    step = jax.jit(env.step)
-    for t in range(400):
-        mean, _, _, h = fwd(params, obs, h)
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t
-
-
-def test_shipped_conv_artifact_solves_config1():
-    """The committed conv-family checkpoint must solve config 1."""
-    import pathlib
-    import jax.numpy as jnp
-    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
-    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models import LidarConvPolicy
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-
-    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "policy_conv_cfg1"
-    if not art.exists():
-        pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["params"]
-    model = LidarConvPolicy()
-    fwd = jax.jit(model.apply)
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    step = jax.jit(env.step)
-    for t in range(400):
-        mean, _, _ = fwd(params, obs)
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t
-
-
-def test_shipped_central_artifact_solves_config1():
-    """The MAPPO (central) checkpoint deploys agent-locally and must solve
-    config 1 deterministically like the flagship family."""
-    import pathlib
-    import jax.numpy as jnp
-    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
-    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models import CentralizedActorCritic
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-
-    art = (pathlib.Path(__file__).resolve().parent.parent
-           / "artifacts" / "policy_central_multi")
-    if not art.exists():
-        pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["params"]
-    model = CentralizedActorCritic()
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    step = jax.jit(env.step)
-    fwd = jax.jit(model.apply)
-    for t in range(400):
-        mean, _, _ = fwd(params, obs)  # (N=1, 127): agent axis is -2
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated), "did not finish the route"
-    assert int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t
-
-
-def test_shipped_sac_artifact_solves_config1():
-    """The demonstration-seeded SAC checkpoint must solve config 1."""
-    import pathlib
-    import jax.numpy as jnp
-    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
-    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models.sac import SquashedGaussianActor
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-
-    art = (pathlib.Path(__file__).resolve().parent.parent
-           / "artifacts" / "policy_sac_cfg1")
-    if not art.exists():
-        pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["actor_params"]
-    model = SquashedGaussianActor()
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    step = jax.jit(env.step)
-    fwd = jax.jit(model.apply)
-    for t in range(400):
-        mean, _ = fwd(params, obs)
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated), "did not finish the route"
-    assert int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t
-
-
-def test_shipped_sac_multi_artifact_solves_config1():
-    """The multi-agent demonstration-seeded SAC checkpoint must still solve
-    config 1 (agent-shared actor deploys at any agent count)."""
-    import pathlib
-    import jax.numpy as jnp
-    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
-    from marl_traffic_intersection_tpu.core.constants import STATUS_SUCCESS
-    from marl_traffic_intersection_tpu.models.sac import SquashedGaussianActor
-    from marl_traffic_intersection_tpu.utils.checkpoint import restore_checkpoint
-
-    art = (pathlib.Path(__file__).resolve().parent.parent
-           / "artifacts" / "policy_sac_multi")
-    if not art.exists():
-        pytest.skip("no artifact")
-    params = restore_checkpoint(str(art))["actor_params"]
-    model = SquashedGaussianActor()
-
-    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=400))
-    state, obs = env.reset(jax.random.PRNGKey(7),
-                           env.table.route_ids([("IN_6", "OUT_2")]))
-    step = jax.jit(env.step)
-    fwd = jax.jit(model.apply)
-    for t in range(400):
-        mean, _ = fwd(params, obs)
-        state, out = step(state, jnp.tanh(mean))
-        obs = out.obs
-        if bool(out.terminated):
-            break
-    assert bool(out.terminated) and int(out.status[0]) == STATUS_SUCCESS
-    assert t < 200, t

@@ -110,6 +110,7 @@ def main():
                          "metric fetch costs ~10 tunnel round-trips, ~30%% "
                          "of end-to-end throughput at 4096 envs)")
     args = ap.parse_args()
+    args.log_every = max(1, args.log_every)
 
     if args.distributed:
         jax.distributed.initialize()

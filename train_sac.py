@@ -39,7 +39,10 @@ def main():
                          "with demonstration transitions before training "
                          "(off-policy warm start)")
     ap.add_argument("--demo-model", default="mlp",
-                    help="model family of --demo")
+                    choices=["mlp", "attention", "conv", "central"],
+                    help="model family of --demo (feedforward families only; "
+                         "gru needs a hidden state the collector doesn't "
+                         "carry)")
     ap.add_argument("--demo-steps", type=int, default=200,
                     help="env steps of demonstrations (x num_envs x agents "
                          "transitions)")
@@ -97,12 +100,11 @@ def main():
 
         import jax.numpy as jnp
 
-        from marl_traffic_intersection_tpu.models import make_model
-        demo_model = make_model(args.demo_model)
-        demo_params = restore_checkpoint(args.demo)["params"]
+        from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
+        _, demo_params, demo_mean = load_policy(args.demo, args.demo_model)
 
         def demo_policy(k, obs):
-            mean, _log_std, _v = demo_model.apply(demo_params, obs)
+            mean = demo_mean(demo_params, obs)
             noise = args.demo_noise * jax.random.normal(k, mean.shape)
             return jnp.tanh(mean + noise)
 
@@ -123,22 +125,27 @@ def main():
 
     meter = StepsPerSecond(
         steps_per_tick=args.num_envs * args.steps_per_call)
+    t_log = time.perf_counter()
+    last_log_c = -1
     for c in range(args.calls):
-        t0 = time.perf_counter()
-        if args.demo and args.demo_every and c % args.demo_every == 0:
+        if args.demo and args.demo_every and c and c % args.demo_every == 0:
             ts, state, obs, key = refresh(ts, state, obs, key)
         ts, state, obs, key, metrics = step(ts, state, obs, key)
         meter.tick()
         if c % 10 == 0 or c == args.calls - 1:
             # host sync only at log points (tunnel round-trips dominate
-            # per-call latency otherwise)
+            # per-call latency otherwise); secs averages the span since the
+            # last log, since the block drains all queued async calls
             jax.block_until_ready(metrics["q_loss"])
             m = {k: float(v) for k, v in metrics.items()}
+            now = time.perf_counter()
             print(json.dumps({
-                "call": c, "secs": round(time.perf_counter() - t0, 3),
+                "call": c,
+                "secs": round((now - t_log) / (c - last_log_c), 3),
                 "env_steps_per_s": round(meter.value, 1),
                 "updates": int(ts.update_count),
                 **{k: round(v, 5) for k, v in m.items()}}))
+            t_log, last_log_c = now, c
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint,
