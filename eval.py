@@ -74,6 +74,88 @@ def scripted_policy(obs, state=None, table=None):
     return acts
 
 
+def vector_eval(args, env, rids, params, mean_fn):
+    """Batched evaluation: N auto-reset envs under ONE jitted scan on the
+    device — thousands of episodes in seconds (the single-env loop is
+    latency-bound through the tunnel). Same event taxonomy as the loop
+    below: success/crash events are status transitions; episode stats are
+    emitted at each terminated|truncated boundary."""
+    import time
+
+    import jax.numpy as jnp
+
+    from marl_traffic_intersection_tpu.core.constants import (
+        STATUS_ALIVE, STATUS_CRASH_CAR, STATUS_CRASH_LINE, STATUS_CRASH_WALL,
+        STATUS_SUCCESS)
+    from marl_traffic_intersection_tpu.envs.vector import VectorEnv
+
+    import os
+
+    # persistent compile cache (same as bench.py): the tunnel's compile
+    # latency is episodic — cache hits make reruns immune
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    B = args.vector
+    n = env.config.num_agents
+    venv = VectorEnv(env, num_envs=B, route_pool=rids)
+
+    def body(carry, _):
+        state, obs, prev_st, key, ep_len, ep_rew = carry
+        key, ka = jax.random.split(key)
+        if params is None:
+            act = jax.random.uniform(ka, (B, n, 2), jnp.float32, -1.0, 1.0)
+        else:
+            act = jnp.tanh(mean_fn(params, obs))
+        state, out = venv.step(state, act)
+        st = out.status                                       # (B, N)
+        succ = ((st == STATUS_SUCCESS)
+                & (prev_st != STATUS_SUCCESS)).sum()
+        cc = (st == STATUS_CRASH_CAR).sum()
+        co = ((st == STATUS_CRASH_WALL) | (st == STATUS_CRASH_LINE)).sum()
+        ep_done = out.terminated | out.truncated              # (B,)
+        ep_len = ep_len + 1
+        ep_rew = ep_rew + out.reward.sum(-1)
+        outs = (succ, cc, co, ep_done.sum(),
+                jnp.where(ep_done, ep_len, 0).sum(),
+                jnp.where(ep_done, ep_rew, 0.0).sum())
+        ep_len = jnp.where(ep_done, 0, ep_len)
+        ep_rew = jnp.where(ep_done, 0.0, ep_rew)
+        # auto-reset replaced done envs with fresh episodes: their next
+        # transition baseline is ALIVE, not the terminal status
+        prev_st = jnp.where(ep_done[:, None], STATUS_ALIVE, st)
+        return (state, out.obs, prev_st, key, ep_len, ep_rew), outs
+
+    @jax.jit
+    def run(key):
+        kr, ks = jax.random.split(key)
+        state, obs = venv.reset(kr)
+        carry = (state, obs, jnp.zeros((B, n), jnp.int32), ks,
+                 jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        _, outs = jax.lax.scan(body, carry, None, length=args.max_steps)
+        return [o.sum() for o in outs]
+
+    jax.block_until_ready(run(jax.random.PRNGKey(args.seed)))  # compile
+    t0 = time.perf_counter()
+    succ, cc, co, eps, len_sum, rew_sum = [
+        v.item() for v in jax.block_until_ready(run(
+            jax.random.PRNGKey(args.seed + 1)))]
+    dt = time.perf_counter() - t0
+    eps = max(int(eps), 1)
+    print(json.dumps({
+        "config": args.config, "vector": B, "policy": args.policy,
+        "episodes": int(eps), "successes": int(succ),
+        "success_rate_per_episode": round(succ / eps, 4),
+        "crashes_vehicle": int(cc), "crashes_object": int(co),
+        "mean_ep_len": round(len_sum / eps, 1),
+        "mean_ep_reward": round(rew_sum / eps, 3),
+        "env_steps": B * args.max_steps,
+        "env_steps_per_s": round(B * args.max_steps / dt, 1),
+        "secs": round(dt, 2)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1, choices=sorted(CONFIGS))
@@ -88,12 +170,18 @@ def main():
                     "(sac = train_sac.py actor checkpoint)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vector", type=int, default=0, metavar="N",
+                    help="batched evaluation: run N envs in parallel under "
+                         "one jitted scan (auto-reset; event-counted stats "
+                         "over thousands of episodes in seconds). Implies "
+                         "--device default and --policy checkpoint/random")
     ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
                     help="single-env eval loops are latency-bound: CPU beats "
-                         "the tunneled TPU ~100x here (CLAUDE.md)")
+                         "the tunneled TPU ~100x here (CLAUDE.md); --vector "
+                         "flips the tradeoff")
     args = ap.parse_args()
 
-    if args.device == "cpu":
+    if args.device == "cpu" and not args.vector:
         jax.config.update("jax_platforms", "cpu")
 
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
@@ -114,6 +202,13 @@ def main():
     if args.policy == "checkpoint":
         from marl_traffic_intersection_tpu.utils.checkpoint import load_policy
         model, params, mean_fn = load_policy(args.checkpoint, args.model)
+
+    if args.vector:
+        if args.policy == "scripted" or (args.policy == "checkpoint"
+                                         and mean_fn is None):
+            raise SystemExit("--vector supports --policy random or a "
+                             "feedforward-family checkpoint")
+        return vector_eval(args, env, rids, params, mean_fn)
 
     rng = np.random.RandomState(args.seed)
     stats = dict(success=0, crash_car=0, crash_obj=0, steps=[], reward=[],

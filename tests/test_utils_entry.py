@@ -172,3 +172,33 @@ def test_shipped_multiagent_artifact_runs_config4():
         successes += int(((st == STATUS_SUCCESS) & (prev != STATUS_SUCCESS)).sum())
         prev = st
     assert successes >= 4, successes  # several route completions in 300 steps
+
+
+def test_vector_eval_counts_events():
+    """eval.py --vector: the batched evaluator's jitted scan counts episode
+    boundaries and status-transition events (tiny batch, random policy)."""
+    import argparse
+    import io
+    import json
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import eval as eval_mod
+    from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
+
+    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=16))
+    rids = env.table.route_ids([("IN_6", "OUT_2"), ("IN_1", "OUT_7")])
+    args = argparse.Namespace(vector=4, max_steps=40, seed=0,
+                              config=1, policy="random")
+    buf = io.StringIO()
+    stdout, sys.stdout = sys.stdout, buf
+    try:
+        eval_mod.vector_eval(args, env, rids, None, None)
+    finally:
+        sys.stdout = stdout
+    r = json.loads(buf.getvalue())
+    # max_steps=16 < 40 scanned steps: every env truncates >= twice
+    assert r["episodes"] >= 8
+    assert r["env_steps"] == 4 * 40
+    assert r["mean_ep_len"] <= 16
