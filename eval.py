@@ -74,7 +74,7 @@ def scripted_policy(obs, state=None, table=None):
     return acts
 
 
-def vector_eval(args, env, rids, params, mean_fn):
+def vector_eval(args, env, rids, params, mean_fn, gru_model=None):
     """Batched evaluation: N auto-reset envs under ONE jitted scan on the
     device — thousands of episodes in seconds (the single-env loop is
     latency-bound through the tunnel). Same event taxonomy as the loop
@@ -103,13 +103,20 @@ def vector_eval(args, env, rids, params, mean_fn):
     venv = VectorEnv(env, num_envs=B, route_pool=rids)
 
     def body(carry, _):
-        state, obs, prev_st, key, ep_len, ep_rew = carry
+        state, obs, h, prev_st, key, ep_len, ep_rew = carry
         key, ka = jax.random.split(key)
         if params is None:
             act = jax.random.uniform(ka, (B, n, 2), jnp.float32, -1.0, 1.0)
+        elif gru_model is not None:
+            mean, _, _, h = gru_model.apply(params, obs, h)
+            act = jnp.tanh(mean)
         else:
             act = jnp.tanh(mean_fn(params, obs))
         state, out = venv.step(state, act)
+        if gru_model is not None:
+            # zero memory at agent life boundaries, matching training
+            done_h = out.done | (out.terminated | out.truncated)[:, None]
+            h = h * (1.0 - done_h.astype(jnp.float32))[..., None]
         st = out.status                                       # (B, N)
         succ = ((st == STATUS_SUCCESS)
                 & (prev_st != STATUS_SUCCESS)).sum()
@@ -126,13 +133,15 @@ def vector_eval(args, env, rids, params, mean_fn):
         # auto-reset replaced done envs with fresh episodes: their next
         # transition baseline is ALIVE, not the terminal status
         prev_st = jnp.where(ep_done[:, None], STATUS_ALIVE, st)
-        return (state, out.obs, prev_st, key, ep_len, ep_rew), outs
+        return (state, out.obs, h, prev_st, key, ep_len, ep_rew), outs
 
     @jax.jit
     def run(key):
         kr, ks = jax.random.split(key)
         state, obs = venv.reset(kr)
-        carry = (state, obs, jnp.zeros((B, n), jnp.int32), ks,
+        h0 = (gru_model.initial_hidden(B, n) if gru_model is not None
+              else jnp.zeros((), jnp.float32))
+        carry = (state, obs, h0, jnp.zeros((B, n), jnp.int32), ks,
                  jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
         _, outs = jax.lax.scan(body, carry, None, length=args.max_steps)
         return [o.sum() for o in outs]
@@ -204,11 +213,11 @@ def main():
         model, params, mean_fn = load_policy(args.checkpoint, args.model)
 
     if args.vector:
-        if args.policy == "scripted" or (args.policy == "checkpoint"
-                                         and mean_fn is None):
+        if args.policy == "scripted":
             raise SystemExit("--vector supports --policy random or a "
-                             "feedforward-family checkpoint")
-        return vector_eval(args, env, rids, params, mean_fn)
+                             "checkpoint (the Stanley driver is host-side)")
+        return vector_eval(args, env, rids, params, mean_fn,
+                           model if args.model == "gru" else None)
 
     rng = np.random.RandomState(args.seed)
     stats = dict(success=0, crash_car=0, crash_obj=0, steps=[], reward=[],
