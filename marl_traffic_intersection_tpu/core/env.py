@@ -54,7 +54,7 @@ from .constants import (
     WIDTH,
 )
 from .geometry import hits_yellow_line, is_line_pixel, is_on_road
-from .lidar import lidar_scan
+from .lidar import lidar_scan, lidar_scan_interval
 from .npc import NpcState, init_npc_state, npc_traffic_update, spawn_decision
 from .physics import (car_corners, car_physics_step, gather_rows_matmul,
                       sat_overlap, update_path_index, wrap_angle)
@@ -109,7 +109,8 @@ class EnvConfig:
     respawn_enabled: bool = True
     max_steps: int = 2000
     max_npcs: int = 32
-    lidar_impl: str = "xla"  # "xla" (fused jnp) | "pallas" (TPU kernel)
+    lidar_impl: str = "xla"  # "xla" (fused jnp) | "interval" (exact
+    #   binary-search obstacle intervals) | "pallas" (TPU kernel)
     npc_mode: str = "exact"  # "exact" (sequential, bit-match) | "fast" (sync)
 
     # NOTE: the reference *Python wrapper* forces single-agent + no team reward
@@ -409,6 +410,9 @@ class IntersectionEnv:
         if cfg.lidar_impl == "pallas":
             from ..ops.lidar_pallas import make_lidar_batch
             scan = make_lidar_batch(cfg.num_lanes)(x, y, heading, ox, oy, oh, om)
+        elif cfg.lidar_impl == "interval":
+            scan = jax.vmap(lambda a, b, c: lidar_scan_interval(
+                a, b, c, ox, oy, oh, om, cfg.num_lanes))(x, y, heading)
         else:
             scan = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om,
                                                        cfg.num_lanes))(x, y, heading)

@@ -148,3 +148,128 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     hit = (first < big) & ((first & 1) == 0)
     return jnp.where(hit, (first >> 1).astype(f32) * f32(step_size),
                      f32(max_dist))
+
+
+def _first_true(pred, shape, domain_pow2: int):
+    """Branchless binary search: smallest k in [0, domain_pow2) where the
+    monotone-nondecreasing boolean ``pred(k)`` is True; domain_pow2 if none.
+
+    ``pred`` receives an i32 array of the given shape and must be exact and
+    weakly monotone in k — which trunc(p0 + d·t(k)) comparisons are, because
+    f32 multiply/add by a constant and trunc are all weakly monotone under
+    round-to-nearest. 1 + log2(domain) predicate evaluations.
+    """
+    idx = jnp.zeros(shape, jnp.int32)
+    s = domain_pow2 // 2
+    while s >= 1:
+        idx = jnp.where(pred(idx + (s - 1)), idx, idx + s)
+        s //= 2
+    return jnp.where(pred(idx), idx, idx + 1)
+
+
+def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
+                        obs_heading, obs_mask, num_lanes: int = 3,
+                        rays: int = LIDAR_RAYS,
+                        fov_deg: float = LIDAR_FOV_DEG,
+                        max_dist: float = LIDAR_MAX_DIST,
+                        step_size: float = LIDAR_STEP):
+    """``lidar_scan`` with the obstacle tests lifted OUT of the sample grid.
+
+    The truncated sample coordinate trunc(p0 + d·(step·k)) is weakly monotone
+    in k even under f32 rounding, so each obstacle AABB's hit set along a ray
+    is ONE contiguous k-interval whose boundaries are found by binary search
+    on the exact per-sample predicate (_first_true) — unconditionally
+    bit-identical to the dense test, at 4·(1+log2 S) predicate evaluations
+    per (ray, obstacle) instead of S box tests. The road/out-of-bounds march
+    stays dense. Event-priority encoding: oob → 2k, hits → 2k+1, so at the
+    SAME sample oob (the reference's bounds-check break, cpp/Lidar.cpp:38-40)
+    beats a hit, while any earlier sample still wins the min.
+    """
+    f32 = jnp.float32
+    if (rays, fov_deg, max_dist, step_size) == (LIDAR_RAYS, LIDAR_FOV_DEG,
+                                                LIDAR_MAX_DIST, LIDAR_STEP):
+        rel = jnp.asarray(_REL_ANGLES)
+        dists = jnp.asarray(_DISTS)
+    else:
+        rel = jnp.asarray(ray_rel_angles(rays, fov_deg))
+        nsamp_ = int(np.ceil(max_dist / step_size))
+        dists = jnp.asarray(np.arange(nsamp_, dtype=np.float32)
+                            * np.float32(step_size))
+    nsamp = dists.shape[0]
+    pow2 = 1
+    while pow2 < nsamp + 1:
+        pow2 *= 2
+
+    ray_angle = self_heading + rel                       # (R,)
+    dx = jnp.cos(ray_angle)
+    dy = -jnp.sin(ray_angle)
+
+    sx = self_x + dx[:, None] * dists[None, :]           # (R, S)
+    sy = self_y + dy[:, None] * dists[None, :]
+    xf = jnp.trunc(sx)
+    yf = jnp.trunc(sy)
+
+    oob = (xf < f32(0)) | (xf >= f32(WIDTH)) | (yf < f32(0)) | (yf >= f32(HEIGHT))
+    pos_dist = dists > f32(0.0)
+    road_hit = pos_dist[None, :] & off_road_grid_fast(xf, yf, num_lanes)
+
+    samp2 = jnp.arange(0, 2 * nsamp, 2, dtype=jnp.int32)
+    big = jnp.int32(2 * nsamp)
+    code = jnp.where(oob, samp2[None, :],
+                     jnp.where(road_hit, samp2[None, :] + 1, big))
+    first = jnp.min(code, axis=-1)                        # (R,)
+
+    # ---- obstacle AABBs as exact k-intervals per ray
+    eps = f32(1e-3)
+    not_self = ~(
+        (jnp.abs(obs_x - self_x) < eps)
+        & (jnp.abs(obs_y - self_y) < eps)
+        & (jnp.abs(obs_heading - self_heading) < eps)
+    )
+    active = obs_mask & not_self
+    cosA = jnp.cos(obs_heading)
+    sinA = jnp.sin(obs_heading)
+    hl = f32(CAR_LENGTH * 0.5)
+    hw = f32(CAR_WIDTH * 0.5)
+    ex = jnp.abs(cosA) * hl + jnp.abs(sinA) * hw
+    ey = jnp.abs(sinA) * hl + jnp.abs(cosA) * hw
+    inf = f32(jnp.inf)
+    lox = jnp.where(active, obs_x - ex, inf)
+    hix = jnp.where(active, obs_x + ex, -inf)
+    loy = jnp.where(active, obs_y - ey, inf)
+    hiy = jnp.where(active, obs_y + ey, -inf)
+
+    step_f = f32(step_size)
+
+    def axis_interval(p0, d, lo, hi):
+        """[enter, exit_excl) of k with trunc(p0 + d·(step·k)) in [lo, hi].
+
+        Sign-folded so both searched predicates are monotone NONDECREASING;
+        the inner evaluation replicates the dense grid's op order
+        (p0 + d * dist, then trunc) bit-for-bit.
+        """
+        sgn = jnp.where(d >= f32(0.0), f32(1.0), f32(-1.0))
+        u_lo = jnp.where(d >= f32(0.0), lo, -hi)
+        u_hi = jnp.where(d >= f32(0.0), hi, -lo)
+
+        def u(k):
+            t = k.astype(f32) * step_f
+            return sgn * jnp.trunc(p0 + d * t)
+
+        enter = _first_true(lambda k: u(k) >= u_lo, d.shape, pow2)
+        exit_ = _first_true(lambda k: u(k) > u_hi, d.shape, pow2)
+        return enter, exit_
+
+    last_k = jnp.int32(nsamp - 1)
+    for m_i in range(obs_x.shape[0]):
+        kx_in, kx_out = axis_interval(self_x, dx, lox[m_i], hix[m_i])
+        ky_in, ky_out = axis_interval(self_y, dy, loy[m_i], hiy[m_i])
+        start = jnp.maximum(jnp.maximum(kx_in, ky_in), 1)   # pos_dist: k >= 1
+        end = jnp.minimum(kx_out, ky_out) - 1
+        valid = (start <= end) & (start <= last_k)
+        obs_code = jnp.where(valid, 2 * start + 1, big)
+        first = jnp.minimum(first, obs_code)
+
+    hit = (first < big) & ((first & 1) == 1)
+    return jnp.where(hit, (first >> 1).astype(f32) * f32(step_size),
+                     f32(max_dist))

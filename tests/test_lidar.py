@@ -110,3 +110,70 @@ def test_pallas_lidar_respects_num_lanes():
         assert (d > 4.0).sum() == 0 and (d > 0).sum() <= 2, (lanes, d.max())
         outs[lanes] = np.asarray(ref)
     assert not np.array_equal(outs[2], outs[3])  # geometries genuinely differ
+
+
+def test_interval_impl_bit_equal_random_fuzz():
+    """lidar_scan_interval must be BIT-identical to the dense march on random
+    poses at scale — the gate for swapping the default (PERF.md)."""
+    import jax
+
+    from marl_traffic_intersection_tpu.core.lidar import (lidar_scan,
+                                                          lidar_scan_interval)
+
+    key = jax.random.PRNGKey(0)
+    B, M = 4096, 5
+    ks = jax.random.split(key, 8)
+    x = jax.random.uniform(ks[0], (B,), jnp.float32, -50.0, 800.0)
+    y = jax.random.uniform(ks[1], (B,), jnp.float32, -50.0, 800.0)
+    h = jax.random.uniform(ks[2], (B,), jnp.float32, -np.pi, np.pi)
+    ox = jax.random.uniform(ks[3], (B, M), jnp.float32, -50.0, 800.0)
+    oy = jax.random.uniform(ks[4], (B, M), jnp.float32, -50.0, 800.0)
+    oh = jax.random.uniform(ks[5], (B, M), jnp.float32, -np.pi, np.pi)
+    om = jax.random.bernoulli(ks[6], 0.8, (B, M))
+    # place some obstacles right on top of rays' likely paths
+    ox = ox.at[:, 0].set(x + 40.0)
+    oy = oy.at[:, 0].set(y)
+
+    dense = jax.jit(jax.vmap(lambda a, b, c, d, e, f, g:
+                             lidar_scan(a, b, c, d, e, f, g)))
+    intv = jax.jit(jax.vmap(lambda a, b, c, d, e, f, g:
+                            lidar_scan_interval(a, b, c, d, e, f, g)))
+    r1 = np.asarray(dense(x, y, h, ox, oy, oh, om))
+    r2 = np.asarray(intv(x, y, h, ox, oy, oh, om))
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_interval_impl_bit_equal_adversarial():
+    """Axis-aligned rays (|d| ~ 0 on one axis), boxes whose edges sit exactly
+    on sample/integer boundaries, self-exclusion, and out-of-canvas boxes."""
+    import jax
+
+    from marl_traffic_intersection_tpu.core.lidar import (lidar_scan,
+                                                          lidar_scan_interval)
+
+    cases = []
+    # exactly axis-aligned headings (two of the 96 rays get |dx| or |dy| = 0)
+    for hh in (0.0, np.pi / 2, -np.pi / 2, np.pi, 1e-7, np.pi / 2 - 1e-7):
+        cases.append((375.0, 375.0, hh))
+    # car center at integer and near-integer coords (trunc boundaries)
+    for xx in (100.0, 100.0 + 2**-12, 99.999999, 375.5):
+        cases.append((xx, 375.0, 0.3))
+    n = len(cases)
+    x = jnp.asarray([c[0] for c in cases], jnp.float32)
+    y = jnp.asarray([c[1] for c in cases], jnp.float32)
+    h = jnp.asarray([c[2] for c in cases], jnp.float32)
+    # obstacles: dead ahead at integer offsets, exactly on the canvas edge,
+    # fully off-canvas, duplicated self pose (self-exclusion), far corner
+    M = 5
+    ox = jnp.stack([x + 48.0, jnp.full((n,), 749.0), jnp.full((n,), -40.0),
+                    x, jnp.full((n,), 80.0)], axis=1)
+    oy = jnp.stack([y, y, y, y, jnp.full((n,), 80.0)], axis=1)
+    oh = jnp.zeros((n, M), jnp.float32).at[:, 4].set(0.7853982)
+    om = jnp.ones((n, M), bool)
+
+    from jax import vmap
+    r1 = np.asarray(vmap(lambda a, b, c, d, e, f, g:
+                         lidar_scan(a, b, c, d, e, f, g))(x, y, h, ox, oy, oh, om))
+    r2 = np.asarray(vmap(lambda a, b, c, d, e, f, g:
+                         lidar_scan_interval(a, b, c, d, e, f, g))(x, y, h, ox, oy, oh, om))
+    np.testing.assert_array_equal(r1, r2)
