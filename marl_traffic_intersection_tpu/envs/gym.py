@@ -204,7 +204,8 @@ class GymIntersectionEnv:
         eg = self._native.egos()
         npcs = self._native.npcs()
         ego = SimpleNamespace(
-            x=eg[:, 0], y=eg[:, 1], heading=eg[:, 3],
+            x=eg[:, 0], y=eg[:, 1], v=eg[:, 2], heading=eg[:, 3],
+            alive=eg[:, 6] > 0.5,
             route_id=self._core.table.route_ids(self.ego_routes),
             path_index=eg[:, 5].astype(np.int32))
         npc = SimpleNamespace(
@@ -212,7 +213,9 @@ class GymIntersectionEnv:
             heading=npcs[:, 3])
         lidar = np.stack([self._native.lidar(i) for i in range(self.num_agents)]) \
             if self.num_agents else np.zeros((0, 96), np.float32)
-        return SimpleNamespace(ego=ego, npc=npc, lidar=lidar)
+        return SimpleNamespace(ego=ego, npc=npc, lidar=lidar,
+                               step_count=self._native._lib.mti_step_count(
+                                   self._native._h))
 
     def close(self):
         if self._renderer is not None:

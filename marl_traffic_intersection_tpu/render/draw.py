@@ -87,7 +87,7 @@ class Renderer:
 
     # ------------------------------------------------------------------ frame
     def render(self, state, show_lane_ids: bool = False, show_lidar: bool = False,
-               show_route: bool = True) -> np.ndarray:
+               show_route: bool = True, show_hud: bool = True) -> np.ndarray:
         from PIL import ImageDraw
 
         img = self._bg.copy()
@@ -132,6 +132,18 @@ class Renderer:
             layout = self.env.table.layout
             for name, (x, y) in layout["points"].items():
                 d.text((x - 10, y - 5), name, fill=_WHITE)
+
+        if show_hud:  # step / agents alive / traffic count / ego-0 speed (Renderer.cpp:344-373)
+            ego_alive = getattr(ego, "alive", None)
+            alive = int(np.asarray(ego_alive).sum()) if ego_alive is not None else len(ex)
+            ntraffic = int(nalive.sum())
+            lines = [f"step: {int(np.asarray(state.step_count))}",
+                     f"agents alive: {alive}/{len(ex)}",
+                     f"traffic: {ntraffic}"]
+            if len(ex) > 0:
+                lines.append(f"ego v: {float(np.asarray(ego.v)[0]):.2f} px/f")
+            for li, text in enumerate(lines):
+                d.text((6, 6 + 12 * li), text, fill=_WHITE)
 
         return np.asarray(img, np.uint8)
 

@@ -55,6 +55,10 @@ def test_renderer_headless_frame():
     assert frame.shape == (750, 750, 3) and frame.dtype == np.uint8
     # road must be drawn (gray pixels present), cars colored
     assert (frame[375, 375] == np.array([60, 60, 60])).all() or frame[375, 375].std() < 60
+    # HUD overlay (step/agents/traffic/speed, Renderer.cpp:344-373) is on by
+    # default and must change pixels in the top-left text region
+    no_hud = env._renderer.render(env._state, show_hud=False)
+    assert (frame[:60, :160] != no_hud[:60, :160]).any()
     env.close()
 
 
