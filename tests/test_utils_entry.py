@@ -94,6 +94,7 @@ ARTIFACTS = [  # (artifact dir, model family of utils.checkpoint.load_policy)
     ("policy_mlp_cfg1", "mlp"),
     ("policy_mlp_multi", "mlp"),
     ("policy_attn_cfg1", "attention"),
+    ("policy_attn_multi", "attention"),
     ("policy_conv_cfg1", "conv"),
     ("policy_gru_cfg1", "gru"),
     ("policy_central_multi", "central"),
