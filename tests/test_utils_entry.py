@@ -97,6 +97,7 @@ ARTIFACTS = [  # (artifact dir, model family of utils.checkpoint.load_policy)
     ("policy_attn_multi", "attention"),
     ("policy_conv_cfg1", "conv"),
     ("policy_gru_cfg1", "gru"),
+    ("policy_gru_multi", "gru"),
     ("policy_central_multi", "central"),
     ("policy_central_cfg4", "central"),
     ("policy_sac_cfg1", "sac"),
