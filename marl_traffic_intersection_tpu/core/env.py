@@ -111,7 +111,10 @@ class EnvConfig:
     max_npcs: int = 32
     lidar_impl: str = "xla"  # "xla" (fused jnp) | "interval" (exact
     #   binary-search obstacle intervals) | "pallas" (TPU kernel)
-    npc_mode: str = "exact"  # "exact" (sequential, bit-match) | "fast" (sync)
+    npc_mode: str = "exact"  # "exact" (wave-scheduled, bit-match) |
+    #                          "serial" (reference-shaped sequential loop,
+    #                          bitwise equal to "exact", kept for diff tests) |
+    #                          "fast" (synchronous approximation)
 
     # NOTE: the reference *Python wrapper* forces single-agent + no team reward
     # when traffic_flow is on (env.py:85-99); its C++ core supports multi-ego +
@@ -252,6 +255,8 @@ class IntersectionEnv:
                 do_try, route_choice = spawn
             if cfg.npc_mode == "fast":
                 from .npc import npc_traffic_update_fast as _npc_update
+            elif cfg.npc_mode == "serial":
+                from .npc import npc_traffic_update_serial as _npc_update
             else:
                 _npc_update = npc_traffic_update
             npc, spawned = _npc_update(

@@ -134,14 +134,18 @@ def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid,
     # --- 3) ghost path scan (TrafficFlow.cpp:77-185)
     # Dense masked sweep over ALL path points with a [pi0, pi0+K) window mask
     # instead of gathering the 120-point window (TPU gathers are slow; the
-    # full-path sweep is pure VPU work).
+    # full-path sweep is pure VPU work). Layout: the big tensors are (M, K)
+    # with the K=160 path axis minor-most — K in lanes keeps the VPU's
+    # 128-wide registers full, where a (K, M) layout would run at 32/128
+    # lane utilization.
     iota = jnp.arange(PATH_LEN, dtype=jnp.int32)
-    scan_valid = (iota >= pi0) & (iota < pi0 + _SCAN_STEPS)  # (P,)
-    gx, gy = path[:, 0], path[:, 1]                          # (P,)
+    scan_valid = (iota >= pi0) & (iota < pi0 + _SCAN_STEPS)  # (K,)
+    gx, gy = path[:, 0], path[:, 1]                          # (K,)
 
-    # per-point x per-other proximity
-    d_og_sq = (x[None, :] - gx[:, None]) ** 2 + (y[None, :] - gy[:, None]) ** 2
-    close = d_og_sq < _SAFE_RADIUS_SQ                     # (K, M)
+    # per-other x per-point proximity
+    dxk = x[:, None] - gx[None, :]
+    dyk = y[:, None] - gy[None, :]
+    close = dxk * dxk + dyk * dyk < _SAFE_RADIUS_SQ       # (M, K)
 
     # same-direction exclusion (handled by ACC): angle_diff < 60 deg
     same_dir = angle_diff < _DEG60                        # (M,)
@@ -169,23 +173,30 @@ def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid,
         (dist > _F(1e-5)) & is_parallel & sideways & not_far & (fmag > _F(1e-5)) & stable
     )                                                      # (M,)
 
-    # yield rules (TrafficFlow.cpp:162-177)
+    # yield rules (TrafficFlow.cpp:162-177). Factorized: should_yield(k, o) =
+    # rule1(k) | rules234(o), so the (K, M) combine collapses to two
+    # any-over-others reductions on (M, K) instead of a dense rule tensor —
+    # boolean algebra only, decisions unchanged bit for bit.
     my_dc = jnp.hypot(sx - _CX, sy - _CY)
     other_dc = jnp.hypot(x - _CX, y - _CY)                 # (M,)
     dtc = jnp.hypot(gx - sx, gy - sy)                      # (K,) dist to would-be crash point
 
-    rule1 = dtc[:, None] < _F(15.0)
-    rule2 = (sv < _F(1.0)) & (v[None, :] > _F(3.0)) & (other_dc[None, :] < my_dc + _F(25.0))
-    rule3 = other_dc[None, :] < my_dc - _F(5.0)
-    rule4 = (jnp.abs(other_dc - my_dc)[None, :] <= _F(5.0)) & (my_uid < uid)[None, :]
-    should_yield = rule1 | rule2 | rule3 | rule4
+    rule1 = dtc < _F(15.0)                                 # (K,)
+    rule2 = (sv < _F(1.0)) & (v > _F(3.0)) & (other_dc < my_dc + _F(25.0))
+    rule3 = other_dc < my_dc - _F(5.0)
+    rule4 = (jnp.abs(other_dc - my_dc) <= _F(5.0)) & (my_uid < uid)
+    rules234 = rule2 | rule3 | rule4                       # (M,)
 
-    consider = close & others[None, :] & ~same_dir[None, :] & ~skip_parallel[None, :]
-    point_conflict = scan_valid & jnp.any(consider & should_yield, axis=-1)  # (K,)
+    okm = others & ~same_dir & ~skip_parallel              # (M,) considered others
+    any_considered = jnp.any(close & okm[:, None], axis=0)            # (K,)
+    any_rule234 = jnp.any(close & (okm & rules234)[:, None], axis=0)  # (K,)
+    point_conflict = scan_valid & ((rule1 & any_considered) | any_rule234)
 
     conflict = jnp.any(point_conflict)
     first_k = jnp.argmax(point_conflict)
-    min_conflict_dist = dtc[first_k]
+    # one-hot contraction instead of dtc[first_k]: a per-lane dynamic gather
+    # under vmap stages badly on TPU; the masked sum picks the same float.
+    min_conflict_dist = jnp.sum(jnp.where(iota == first_k, dtc, _F(0.0)))
 
     # --- 4) combine (TrafficFlow.cpp:187-195)
     braked = jnp.where(min_conflict_dist < _F(35.0), _F(-1.0),
@@ -195,10 +206,16 @@ def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid,
     return throttle, steer_cmd
 
 
-def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
+def npc_controller_update_serial(npc: NpcState, paths_table, dt) -> NpcState:
     """Sequential per-NPC plan+update pass (TrafficFlow.cpp:330-344).
 
     ``paths_table``: (R, PATH_LEN, 2) route polyline table.
+
+    This is the direct transcription of the reference's one-NPC-at-a-time
+    loop; ``npc_controller_update`` (the default exact mode) produces
+    bitwise-identical results with conflict-graph wave scheduling and is
+    much faster on TPU. Kept as the semantic ground truth for the
+    serial-vs-waves differential test (tests/test_npc.py).
     """
     max_npcs = npc.alive.shape[0]
     order_key = jnp.where(npc.alive, npc.uid, _UID_MAX)
@@ -248,12 +265,13 @@ def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
                         path_index=path_index)
 
 
-def npc_collisions(npc: NpcState) -> NpcState:
+def npc_collisions_serial(npc: NpcState) -> NpcState:
     """Ordered pairwise NPC-NPC SAT removal (TrafficFlow.cpp:346-356).
 
     Row i kills every later still-alive j it overlaps, and dies itself if any;
     rows run in vector (uid) order with live alive flags, matching the
-    sequential reference loop exactly.
+    sequential reference loop exactly. Ground-truth twin of the default
+    ``npc_collisions`` (sparse killer-row cascade, bitwise identical).
     """
     max_npcs = npc.alive.shape[0]
     corners = car_corners(npc.x, npc.y, npc.heading)       # (M, 4, 2)
@@ -277,6 +295,181 @@ def npc_collisions(npc: NpcState) -> NpcState:
         return jnp.where(oh, alive & ~jnp.any(j_kill), alive)
 
     alive = jax.lax.fori_loop(0, max_npcs, body, npc.alive)
+    return npc._replace(alive=alive)
+
+
+# --------------------------------------------- conflict-graph hybrid mode
+#
+# The reference updates NPCs one at a time in vector order, each seeing the
+# already-moved poses of earlier NPCs (TrafficFlow.cpp:337-344). That does
+# NOT force full serialization: NPC j's (throttle, steer) reads NPC i's pose
+# only through gates that require i to be near j —
+#   * ACC front check: dist(i, j) <= 80 px      (get_front_car_dist_tf)
+#   * ghost scan:      dist(i, scan point of j) < 48 px (SAFE_RADIUS)
+# and every pose moves at most PHYSICS_MAX_SPEED = 8 px per tick. So a
+# conservative interaction graph built from PRE-tick poses with radii
+# 80+8+1 / 48+8+1 covers every pair that could possibly read each other
+# mid-tick. Slots with NO interacting earlier-order neighbor see a world
+# where every earlier slot's update is invisible to them — their sequential
+# result is bitwise identical to planning against the pre-tick snapshot, so
+# they all update in ONE vectorized pass. The (rare) dependent slots are
+# then replayed one at a time in uid order, which reproduces the sequential
+# semantics exactly: when a dependent slot plans, every earlier-order slot
+# has already been written (independent ones in the dense pass, dependent
+# ones earlier in the cleanup loop), and every later-order slot that could
+# read it is itself dependent (the graph is symmetric) and thus still
+# unwritten. Typical cleanup depth at density 1.0 is 0-3 vs a full
+# MAX_NPCS=32 sequential sweep.
+
+_ACC_REACH_SQ = np.float32((80.0 + PHYSICS_MAX_SPEED + 1.0) ** 2)
+_SCAN_REACH = np.float32(float(_SAFE_RADIUS) + PHYSICS_MAX_SPEED + 1.0)
+_SCAN_REACH_SQ = _SCAN_REACH * _SCAN_REACH
+_CHUNK = 16  # path points per AABB chunk in the conservative graph
+
+
+def _interaction_graph(npc: NpcState, paths_all, pi0):
+    """Symmetric conservative could-read matrix from pre-tick poses.
+
+    paths_all: (M, P, 2) per-slot route polylines; pi0: (M,) refreshed path
+    indices (own-pose only, so identical pre/mid tick). Returns (M, M) bool.
+
+    The ghost-scan reach test uses per-chunk path AABBs (point-to-box
+    distance is a lower bound on point-to-scan-point distance, and the chunk
+    window is a superset of the scan window), so the graph build touches
+    (M, P/CHUNK, M) elements instead of (M, P, M) — conservativeness is all
+    that's needed here, exactness lives in the planner itself.
+    """
+    max_npcs = npc.alive.shape[0]
+    dx = npc.x[:, None] - npc.x[None, :]
+    dy = npc.y[:, None] - npc.y[None, :]
+    acc_reach = dx * dx + dy * dy <= _ACC_REACH_SQ
+
+    nchunk = PATH_LEN // _CHUNK
+    pc = paths_all.reshape(max_npcs, nchunk, _CHUNK, 2)
+    cmin = pc.min(axis=2)                                     # (M, C, 2)
+    cmax = pc.max(axis=2)
+    cstart = jnp.arange(nchunk, dtype=jnp.int32) * _CHUNK
+    win = (cstart[None, :] + _CHUNK > pi0[:, None]) & \
+          (cstart[None, :] < pi0[:, None] + _SCAN_STEPS)      # (M, C)
+
+    ox = npc.x[None, None, :]
+    oy = npc.y[None, None, :]
+    ddx = jnp.maximum(jnp.maximum(cmin[:, :, 0][:, :, None] - ox,
+                                  ox - cmax[:, :, 0][:, :, None]), _F(0.0))
+    ddy = jnp.maximum(jnp.maximum(cmin[:, :, 1][:, :, None] - oy,
+                                  oy - cmax[:, :, 1][:, :, None]), _F(0.0))
+    near = ddx * ddx + ddy * ddy <= _SCAN_REACH_SQ            # (M, C, M)
+    scan_reach = jnp.any(win[:, :, None] & near, axis=1)      # [j, i]: i near j's scan
+
+    both = npc.alive[:, None] & npc.alive[None, :]
+    eye = jnp.eye(max_npcs, dtype=bool)
+    return (acc_reach | scan_reach | scan_reach.T) & both & ~eye
+
+
+def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
+    """Exact controller pass: one dense synchronous plan+integrate for every
+    slot with no interacting earlier-order neighbor, then a uid-ordered
+    one-slot-at-a-time cleanup for the dependent rest (see block comment
+    above). Bitwise identical to ``npc_controller_update_serial`` (asserted
+    by tests/test_npc.py's serial-vs-hybrid differential)."""
+    max_npcs = npc.alive.shape[0]
+    from .physics import gather_rows_matmul
+    paths = gather_rows_matmul(paths_table, npc.route_id)      # (M, P, 2)
+    pi0 = update_path_index(paths, PATH_LEN, npc.path_index, npc.x, npc.y)
+
+    interact = _interaction_graph(npc, paths, pi0)
+    earlier = npc.uid[:, None] < npc.uid[None, :]
+    dependent = npc.alive & jnp.any(interact & earlier, axis=0)
+
+    # dense pass: plan everyone against the pre-tick snapshot, write the
+    # independent slots (dependent slots' plans are recomputed below)
+    eye = jnp.eye(max_npcs, dtype=bool)
+
+    def plan_one(sx, sy, sv, sh, su, pi, path, oh):
+        return _plan_npc_action(sx, sy, sv, sh, su, npc.alive & ~oh, pi,
+                                npc.x, npc.y, npc.v, npc.heading, npc.uid, path)
+
+    throttle, steer = jax.vmap(plan_one)(npc.x, npc.y, npc.v, npc.heading,
+                                         npc.uid, pi0, paths, eye)
+    out = car_physics_step(npc.x, npc.y, npc.v, npc.heading,
+                           npc.steering_angle, throttle, steer, dt)
+    pi1 = update_path_index(paths, PATH_LEN, pi0, out.x, out.y)
+    write0 = npc.alive & ~dependent
+    x = jnp.where(write0, out.x, npc.x)
+    y = jnp.where(write0, out.y, npc.y)
+    v = jnp.where(write0, out.v, npc.v)
+    heading = jnp.where(write0, out.heading, npc.heading)
+    steering = jnp.where(write0, out.steering_angle, npc.steering_angle)
+    path_index = jnp.where(write0, pi1, npc.path_index)
+
+    # uid-ordered cleanup of dependent slots
+    paths_flat = paths.reshape(max_npcs, -1)
+
+    def cond(carry):
+        return jnp.any(carry[0])
+
+    def body(carry):
+        pending, x, y, v, heading, steering, path_index = carry
+        first_uid = jnp.min(jnp.where(pending, npc.uid, _UID_MAX))
+        oh = pending & (npc.uid == first_uid)                  # (M,) one-hot
+
+        def sel(a):
+            return jnp.sum(jnp.where(oh, a, jnp.zeros_like(a)))
+
+        path = jnp.matmul(oh.astype(_F), paths_flat,
+                          precision=jax.lax.Precision.HIGHEST).reshape(PATH_LEN, 2)
+        sx, sy, sv, sh = sel(x), sel(y), sel(v), sel(heading)
+        th, st = _plan_npc_action(sx, sy, sv, sh, sel(npc.uid),
+                                  npc.alive & ~oh, sel(pi0),
+                                  x, y, v, heading, npc.uid, path)
+        o = car_physics_step(sx, sy, sv, sh, sel(steering), th, st, dt)
+        p1 = update_path_index(path, PATH_LEN, sel(pi0), o.x, o.y)
+        return (
+            pending & ~oh,
+            jnp.where(oh, o.x, x),
+            jnp.where(oh, o.y, y),
+            jnp.where(oh, o.v, v),
+            jnp.where(oh, o.heading, heading),
+            jnp.where(oh, o.steering_angle, steering),
+            jnp.where(oh, p1, path_index),
+        )
+
+    init = (dependent, x, y, v, heading, steering, path_index)
+    _, x, y, v, heading, steering, path_index = jax.lax.while_loop(cond, body, init)
+    return npc._replace(x=x, y=y, v=v, heading=heading, steering_angle=steering,
+                        path_index=path_index)
+
+
+def npc_collisions(npc: NpcState) -> NpcState:
+    """Sparse killer-row cascade, bitwise equal to the ordered serial loop.
+
+    The sequential semantics (TrafficFlow.cpp:346-356) only change state at
+    "killer rows" — rows still alive that overlap a later still-alive row.
+    Rows that kill nothing leave the alive vector untouched, so processing
+    killer rows alone, lowest uid first with live recomputation, reproduces
+    the full ordered cascade. Collisions are rare (spawn blocking keeps NPCs
+    apart), so the while_loop usually runs zero iterations instead of the
+    serial version's MAX_NPCS."""
+    corners = car_corners(npc.x, npc.y, npc.heading)           # (M, 4, 2)
+    collide = sat_overlap(
+        corners[:, None], npc.heading[:, None], corners[None, :], npc.heading[None, :]
+    )                                                          # (M, M)
+    later = npc.uid[:, None] < npc.uid[None, :]
+
+    def killer_rows(alive):
+        return jnp.any(collide & later & alive[None, :], axis=1) & alive
+
+    def cond(alive):
+        return jnp.any(killer_rows(alive))
+
+    def body(alive):
+        k = killer_rows(alive)
+        first_uid = jnp.min(jnp.where(k, npc.uid, _UID_MAX))
+        is_i = k & (npc.uid == first_uid)
+        victims = jnp.any(collide & later & is_i[:, None], axis=0) & alive
+        return alive & ~victims & ~is_i
+
+    alive = jax.lax.while_loop(cond, body, npc.alive)
     return npc._replace(alive=alive)
 
 
@@ -343,6 +536,21 @@ def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_head
                                  traffic_route_ids, spawn_xy, spawn_heading)
     npc = npc_controller_update(npc, paths_table, dt)
     npc = npc_collisions(npc)
+    npc = npc_despawn(npc, goal_xy)
+    return npc, spawned
+
+
+def npc_traffic_update_serial(npc: NpcState, paths_table, goal_xy, spawn_xy,
+                              spawn_heading, traffic_route_ids, ego_x, ego_y,
+                              ego_present, do_try, route_choice, dt):
+    """Ground-truth serial per-tick NPC pipeline: the direct transcription of
+    the reference's sequential loops. ``npc_traffic_update`` (wave-scheduled)
+    must match this bitwise; see tests/test_npc.py."""
+    npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y,
+                                 ego_present, traffic_route_ids, spawn_xy,
+                                 spawn_heading)
+    npc = npc_controller_update_serial(npc, paths_table, dt)
+    npc = npc_collisions_serial(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned
 

@@ -112,16 +112,16 @@ class GymIntersectionEnv:
         if seed is not None:
             self._seed = seed
         rids = self._core.table.route_ids(self.ego_routes)
+        key = jax.random.PRNGKey(self._seed)
+        self._state, obs_j = self._core.reset(key, rids)
         if self._native is not None:
+            # the native engine answers the whole native-backend API, reset
+            # included: its own reset-time observation (all-max lidar,
+            # reference env.py:158 / IntersectionEnv.cpp:117). The JAX state
+            # above is kept only as the renderer/snapshot mirror.
             self._native.reset([int(r) for r in rids])
-            obs = np.zeros((self.num_agents, 127), np.float32)
-            # first obs: reset-time observation (all-max lidar), same contract
-            key = jax.random.PRNGKey(self._seed)
-            self._state, obs_j = self._core.reset(key, rids)
-            obs = np.asarray(obs_j)
+            obs = self._native.observations()
         else:
-            key = jax.random.PRNGKey(self._seed)
-            self._state, obs_j = self._core.reset(key, rids)
             obs = np.asarray(obs_j)
         self._seed += 1
         if self.traffic_flow:

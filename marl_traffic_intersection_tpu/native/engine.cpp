@@ -814,6 +814,13 @@ void mti_step(void* h, const float* actions, float dt, int spawn_mode,
 
 int mti_step_count(void* h) { return static_cast<mti::Engine*>(h)->step_count; }
 
+// Reset-time (or any-time) observation snapshot without stepping — the
+// reference returns get_observations() right after reset (env.py:158), with
+// the lidar still at its init all-max ranges (IntersectionEnv.cpp:117).
+void mti_get_obs(void* h, float* obs /*n*127*/) {
+    static_cast<mti::Engine*>(h)->observe(obs);
+}
+
 void mti_get_egos(void* h, float* out /*n*7: x,y,v,h,steer,pi,alive*/) {
     auto* e = static_cast<mti::Engine*>(h);
     for (int i = 0; i < e->n; ++i) {

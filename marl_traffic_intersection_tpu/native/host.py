@@ -70,6 +70,7 @@ def _load():
     lib.mti_num_npcs.argtypes = [ct.c_void_p]
     lib.mti_get_npcs.argtypes = [ct.c_void_p, _f32p]
     lib.mti_get_lidar.argtypes = [ct.c_void_p, ct.c_int, _f32p]
+    lib.mti_get_obs.argtypes = [ct.c_void_p, _f32p]
     _LIB = lib
     return lib
 
@@ -104,6 +105,13 @@ class NativeEngine:
         for rid in route_ids:
             self._lib.mti_add_ego(self._h, int(rid))
         self.n = len(route_ids)
+
+    def observations(self) -> np.ndarray:
+        """Current (N, 127) observation snapshot — used for the reset obs
+        (reference: env.py:158 returns get_observations() after reset)."""
+        obs = np.zeros((self.n, 127), np.float32)
+        self._lib.mti_get_obs(self._h, obs)
+        return obs
 
     def step(self, actions: np.ndarray, dt: float = 1.0 / 60.0,
              spawn: Optional[Tuple[bool, int]] = None):

@@ -81,11 +81,28 @@ def scripted(env: GymIntersectionEnv, steps: int, out: str, policy=None):
         print(f"wrote {out} ({len(frames)} frames), total reward {total:.2f}")
 
 
+def print_obs_snapshot(obs, intent: int = None):
+    """Obs stats dump, the 'O' key behavior of the reference harness
+    (reference: test.py:87-98)."""
+    if obs is None:
+        print("Obs not yet available.")
+        return
+    flat = np.asarray(obs).flatten()
+    print(f"Obs shape: {flat.shape}, min: {flat.min():.4f}, "
+          f"max: {flat.max():.4f}, mean: {flat.mean():.4f}")
+    n = min(20, flat.size)
+    preview = np.array2string(flat[:n], precision=3, separator=", ")
+    print(f"Obs preview (first {n}): {preview}" + (" ..." if flat.size > n else ""))
+    if intent is not None:
+        labels = {0: "STRAIGHT", 1: "LEFT", 2: "RIGHT"}
+        print(f"Ego intention: {labels.get(int(intent), f'UNKNOWN({intent})')}")
+
+
 def interactive(env: GymIntersectionEnv):
     import matplotlib.pyplot as plt
 
     pressed = set()
-    state = {"show_lidar": True, "quit": False}
+    state = {"show_lidar": True, "quit": False, "print_obs": False, "obs": None}
 
     def on_key(event, down: bool):
         k = event.key
@@ -96,6 +113,15 @@ def interactive(env: GymIntersectionEnv):
             env.reset()
         elif down and k == "l":
             state["show_lidar"] = not state["show_lidar"]
+        elif down and k == "o":
+            # 'O' toggles obs-stats logging (reference: test.py:128-134)
+            state["print_obs"] = not state["print_obs"]
+            print(f"Observation logging "
+                  f"{'ENABLED' if state['print_obs'] else 'DISABLED'}.")
+            if state["print_obs"]:
+                rid = int(np.asarray(env.state.ego.route_id)[0])
+                print_obs_snapshot(state["obs"],
+                                   intent=int(env._core.table.intent[rid]))
         elif k in ("up", "down", "left", "right"):
             (pressed.add if down else pressed.discard)(k)
 
@@ -119,6 +145,10 @@ def interactive(env: GymIntersectionEnv):
             obs, rew, term, trunc, info = env.step(
                 np.array([throttle, steer], np.float32), dt=dt)
             remaining -= dt
+        state["obs"] = obs
+        if state["print_obs"]:  # per-frame dump while enabled (test.py:159-161)
+            rid = int(np.asarray(env.state.ego.route_id)[0])
+            print_obs_snapshot(obs, intent=int(env._core.table.intent[rid]))
         im.set_data(env.render(show_lidar=state["show_lidar"]))
         fig.canvas.draw_idle()
         plt.pause(1.0 / 60.0)
@@ -140,7 +170,14 @@ def main():
                     choices=["mlp", "attention", "conv", "gru", "central",
                              "sac"],
                     default="mlp", help="model family of --checkpoint")
+    ap.add_argument("--device", choices=["cpu", "auto"], default="cpu",
+                    help="single-env per-step loops are ~100x faster on the "
+                         "host than through the TPU tunnel (cf. eval.py)")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     env = GymIntersectionEnv({
         "traffic_flow": args.traffic,

@@ -78,6 +78,30 @@ def _pol(t, rng, n):
                      np.clip(rng.normal(0, 0.4, n), -1, 1)], axis=1).astype(np.float32)
 
 
+def test_native_gym_reset_obs_from_native_engine():
+    """backend='native' reset() must return the NATIVE engine's own first
+    observation (reference env.py:147-161), in agreement with the JAX
+    backend's — one engine answering the whole API, not two (round-1 review
+    finding: native reset previously returned JAX-built obs)."""
+    from marl_traffic_intersection_tpu.envs.gym import GymIntersectionEnv
+
+    cfg = {"num_agents": 3, "seed": 7}
+    nat = GymIntersectionEnv({**cfg, "backend": "native"})
+    jx = GymIntersectionEnv({**cfg, "backend": "jax"})
+    for trial in range(3):
+        obs_n, _ = nat.reset(seed=trial)
+        obs_j, _ = jx.reset(seed=trial)
+        assert obs_n.shape == obs_j.shape == (3, 127)
+        np.testing.assert_allclose(obs_n[:, :31], obs_j[:, :31], atol=5e-5, rtol=0)
+        # reset-time lidar is the init all-max contract on both engines
+        np.testing.assert_allclose(obs_n[:, 31:], obs_j[:, 31:], atol=1e-6, rtol=0)
+        # and the next step continues in lockstep from that reset
+        acts = np.tile(np.float32([0.5, 0.1]), (3, 1))
+        on = nat.step(acts)[0]
+        oj = jx.step(acts)[0]
+        np.testing.assert_allclose(on[:, :31], oj[:, :31], atol=5e-5, rtol=0)
+
+
 def test_native_vs_jax_single_agent():
     _lockstep([("IN_6", "OUT_2")], 400, _pol)
 

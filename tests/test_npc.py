@@ -144,6 +144,36 @@ def test_fast_mode_tracks_exact_mode():
                                atol=2.0)
 
 
+@pytest.mark.parametrize("density,steps,seed", [(1.0, 500, 0), (10.0, 400, 3)])
+def test_wave_mode_bitwise_equals_serial(density, steps, seed):
+    """The conflict-graph wave-scheduled exact mode must be BITWISE identical
+    to the reference-shaped serial loop — every pose float, path index, uid
+    and alive bit, every tick. Density 10 keeps many NPCs interacting through
+    the ghost scan (long dependency chains), the hardest case for the wave
+    scheduler's conservative interaction graph."""
+    states = {}
+    for mode in ("exact", "serial"):
+        cfg = EnvConfig(num_agents=1, traffic_flow=True, traffic_density=density,
+                        npc_mode=mode, max_steps=4000)
+        env = IntersectionEnv(cfg)
+        state, _ = env.reset(jax.random.PRNGKey(seed))
+        step = jax.jit(env.step)
+        T = env.table.traffic_route_ids.shape[0]
+        rng = np.random.RandomState(seed + 17)
+        traj = []
+        for t in range(steps):
+            do_try = bool(rng.uniform() < 1.0 - np.exp(-density / 60.0)) or (t % 31 == 5)
+            state, out = step(state, jnp.asarray([[0.3, 0.0]], np.float32),
+                              spawn=(jnp.asarray(do_try), jnp.int32(rng.randint(T))))
+            traj.append(jax.tree.map(np.asarray, state.npc))
+        states[mode] = traj
+
+    for t, (a, b) in enumerate(zip(states["exact"], states["serial"])):
+        for field in a._fields:
+            assert np.array_equal(getattr(a, field), getattr(b, field)), (
+                t, field, getattr(a, field), getattr(b, field))
+
+
 @pytest.mark.oracle
 def test_config4_eight_agents_dense_traffic():
     """BASELINE config 4 proper: 8 egos + dense traffic in one world (the

@@ -97,6 +97,9 @@ def main():
                          "(fields of core.env.RewardParams; traced leaves, "
                          "no recompile)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                    help="cpu forces the host platform (tests / preemption "
+                         "drills without claiming the chip)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
     ap.add_argument("--checkpoint", default=None)
@@ -112,6 +115,9 @@ def main():
                          "of end-to-end throughput at 4096 envs)")
     args = ap.parse_args()
     args.log_every = max(1, args.log_every)
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
         jax.distributed.initialize()
@@ -151,11 +157,32 @@ def main():
     start_update = 0
     key = jax.random.PRNGKey(args.seed + 2)
 
-    def save(u, ts):
+    # Preemption resilience: if the --checkpoint path already exists and no
+    # explicit --resume was given, auto-resume from it (restarting the same
+    # command after a kill continues the run). Periodic checkpoints are FULL
+    # training snapshots (params/opt_state/update + RNG key + env state +
+    # obs [+ gru hidden]), so the resumed loss curve reproduces the
+    # uninterrupted one exactly.
+    import os as _os
+    if not args.resume and args.checkpoint and _os.path.exists(args.checkpoint):
+        args.resume = args.checkpoint
+        if jax.process_index() == 0:
+            print(f"auto-resuming from existing checkpoint {args.checkpoint}")
+    resume_raw = None
+    if args.resume:
+        resume_raw = restore_checkpoint(args.resume)
+        start_update = int(resume_raw.get("update", 0))
+
+    def save(u, ts, env_state=None, obs=None, key=None, h=None):
         if args.checkpoint and jax.process_index() == 0:
-            save_checkpoint(args.checkpoint,
-                            {"params": ts.params, "opt_state": ts.opt_state,
-                             "update": u})
+            ck = {"params": ts.params, "opt_state": ts.opt_state, "update": u}
+            if env_state is not None:
+                ck["env_state"] = jax.device_get(env_state)
+                ck["obs"] = jax.device_get(obs)
+                ck["key"] = jax.device_get(key)
+                if h is not None:
+                    ck["h"] = jax.device_get(h)
+            save_checkpoint(args.checkpoint, ck)
             print(f"saved {args.checkpoint} @ update {u}")
 
     tb = None
@@ -163,7 +190,12 @@ def main():
         from tensorboardX import SummaryWriter
         tb = SummaryWriter(args.tb)
 
+    stage_lo = 0
     for stage_idx, (ov, updates) in enumerate(stages):
+        stage_hi = stage_lo + updates
+        if start_update >= stage_hi:
+            stage_lo = stage_hi  # stage fully covered by the resumed counter
+            continue
         agents = ov.get("agents", args.agents)
         density = ov.get("density", args.density)
         traffic = ov.get("traffic", args.traffic)
@@ -202,6 +234,12 @@ def main():
                 template = {"params": jax.device_get(ts.params),
                             "opt_state": jax.device_get(ts.opt_state),
                             "update": 0}
+                # full snapshots carry extra keys; their raw restored values
+                # are their own structure template here (the typed EnvState
+                # restore happens after venv.reset below)
+                for k in ("env_state", "obs", "key", "h"):
+                    if resume_raw is not None and k in resume_raw:
+                        template[k] = resume_raw[k]
                 ck = restore_checkpoint(args.resume, template=template)
                 ts = ts._replace(params=ck["params"],
                                  opt_state=ck["opt_state"])
@@ -217,19 +255,42 @@ def main():
                               "updates": updates}))
 
         state, obs = venv.reset(jax.random.PRNGKey(args.seed + 1 + stage_idx))
+        recurrent = args.model == "gru"
+        h0 = learner.initial_hidden() if recurrent else None
+        if resume_raw is not None and "env_state" in resume_raw \
+                and start_update > stage_lo:
+            # mid-stage full snapshot: restore the rollout carries so the
+            # resumed curve continues the uninterrupted one exactly
+            tmpl = {"env_state": jax.device_get(state),
+                    "obs": jax.device_get(obs),
+                    "key": jax.device_get(key)}
+            if recurrent:
+                tmpl["h"] = jax.device_get(h0)
+            full = restore_checkpoint(args.resume, template={**tmpl, **{
+                "params": jax.device_get(ts.params),
+                "opt_state": jax.device_get(ts.opt_state), "update": 0}})
+            state, obs, key = full["env_state"], full["obs"], full["key"]
+            if recurrent and "h" in full:
+                h0 = full["h"]
+            resume_raw = None
         step, shard_ts, shard_env = learner.jit_train_step(mesh, args.model)
         ts = shard_ts(ts)
-        recurrent = args.model == "gru"
         if recurrent:
-            state, obs, h = shard_env(state, obs, learner.initial_hidden())
+            state, obs, h = shard_env(state, obs, h0)
         else:
             state, obs = shard_env(state, obs)
 
         meter = StepsPerSecond(steps_per_tick=args.num_envs * rollout_len)
-        last = start_update + updates - 1
+        last = stage_hi - 1
         t_log = time.perf_counter()
         last_log_u = start_update - 1
-        for u in range(start_update, start_update + updates):
+
+        def periodic_save(u1, ts):
+            if args.checkpoint_every and u1 % args.checkpoint_every == 0:
+                save(u1, ts, env_state=state, obs=obs, key=key,
+                     h=h if recurrent else None)
+
+        for u in range(start_update, stage_hi):
             if recurrent:
                 ts, state, obs, h, key, metrics = step(ts, state, obs, h, key)
             else:
@@ -237,8 +298,7 @@ def main():
             log_now = (u - start_update) % args.log_every == 0 or u == last
             if not log_now:
                 meter.tick()
-                if args.checkpoint_every and (u + 1) % args.checkpoint_every == 0:
-                    save(u + 1, ts)
+                periodic_save(u + 1, ts)
                 continue
             # host sync only at log points: each float() below is a tunnel
             # round-trip, so between logs updates pipeline on the device
@@ -257,11 +317,18 @@ def main():
                 if tb is not None:
                     for k, v in m.items():
                         tb.add_scalar(k, v, u)
-            if args.checkpoint_every and (u + 1) % args.checkpoint_every == 0:
-                save(u + 1, ts)
-        start_update += updates
+            periodic_save(u + 1, ts)
+        start_update = stage_hi
+        stage_lo = stage_hi
 
-    save(start_update, ts)
+    if ts is None:
+        if jax.process_index() == 0:
+            print("nothing to do: checkpoint already covers all updates")
+        return
+    _loc = locals()
+    save(start_update, ts, env_state=_loc.get("state"), obs=_loc.get("obs"),
+         key=_loc.get("key"),
+         h=_loc.get("h") if _loc.get("recurrent") else None)
 
 
 if __name__ == "__main__":
