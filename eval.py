@@ -155,6 +155,7 @@ def vector_eval(args, env, rids, params, mean_fn, gru_model=None):
     eps = max(int(eps), 1)
     print(json.dumps({
         "config": args.config, "vector": B, "policy": args.policy,
+        "npc_mode": env.config.npc_mode if env.config.traffic_flow else None,
         "episodes": int(eps), "successes": int(succ),
         "success_rate_per_episode": round(succ / eps, 4),
         "crashes_vehicle": int(cc), "crashes_object": int(co),
@@ -188,6 +189,12 @@ def main():
                     help="single-env eval loops are latency-bound: CPU beats "
                          "the tunneled TPU ~100x here (CLAUDE.md); --vector "
                          "flips the tradeoff")
+    ap.add_argument("--npc-mode", choices=["exact", "serial", "fast"],
+                    default="exact",
+                    help="NPC traffic semantics (traffic configs only): "
+                         "exact = reference-sequential (conflict-graph "
+                         "hybrid), fast = synchronous approximation used as "
+                         "the training default (docs/NPC_MODES.md)")
     args = ap.parse_args()
 
     if args.device == "cpu" and not args.vector:
@@ -200,7 +207,7 @@ def main():
 
     c = dict(CONFIGS[args.config])
     routes = c.pop("routes")
-    cfg = EnvConfig(max_steps=args.max_steps, **c)
+    cfg = EnvConfig(max_steps=args.max_steps, npc_mode=args.npc_mode, **c)
     env = IntersectionEnv(cfg)
     if routes is None:
         routes = default_ego_routes(cfg.num_agents, cfg.num_lanes)

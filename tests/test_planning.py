@@ -44,6 +44,48 @@ def test_random_shooting_planner_beats_random():
     assert total_plan > total_rand + 0.1, (total_plan, total_rand)
 
 
+def test_cem_beats_random_shooting_at_equal_budget():
+    """CEM (K=16 x 4 iterations) must beat random shooting (K=64) on config 1
+    at the SAME total rollout budget (64 sequences of the same horizon),
+    closed-loop over 40 steps with receding-horizon warm starts."""
+    from marl_traffic_intersection_tpu.algos.mcts import cem_policy
+
+    env = IntersectionEnv(EnvConfig(num_agents=1, max_steps=4000))
+    rid = env.table.route_ids([("IN_6", "OUT_2")])  # left turn: needs steering
+    state, _ = env.reset(jax.random.PRNGKey(0), rid)
+    step = jax.jit(env.step)
+    horizon = 12
+
+    def closed_loop_shooting(seed):
+        plan = jax.jit(lambda s, k: random_shooting_plan(
+            env, s, k, num_candidates=64, horizon=horizon))
+        key = jax.random.PRNGKey(seed)
+        st, total = state, 0.0
+        for _ in range(40):
+            key, kp = jax.random.split(key)
+            act, _ = plan(st, kp)
+            st, out = step(st, act.reshape(1, 2))
+            total += float(out.reward.sum())
+        return total
+
+    def closed_loop_cem(seed):
+        plan = cem_policy(env, num_candidates=16, num_iters=4, num_elites=4,
+                          horizon=horizon)
+        key = jax.random.PRNGKey(seed)
+        st, total = state, 0.0
+        warm = jnp.zeros((horizon, 1, 2), jnp.float32)
+        for _ in range(40):
+            key, kp = jax.random.split(key)
+            act, _, warm = plan(st, kp, warm)
+            st, out = step(st, act.reshape(1, 2))
+            total += float(out.reward.sum())
+        return total
+
+    shoot = np.mean([closed_loop_shooting(s) for s in (1, 2)])
+    cem = np.mean([closed_loop_cem(s) for s in (1, 2)])
+    assert cem > shoot, (cem, shoot)
+
+
 def test_rollout_determinism_across_compilations():
     """Same key + same state => bitwise-identical batched rollouts, across two
     independently-jitted step functions (the 'race detection' analogue: the

@@ -164,8 +164,10 @@ def main():
     # obs [+ gru hidden]), so the resumed loss curve reproduces the
     # uninterrupted one exactly.
     import os as _os
+    auto_resumed = False
     if not args.resume and args.checkpoint and _os.path.exists(args.checkpoint):
         args.resume = args.checkpoint
+        auto_resumed = True
         if jax.process_index() == 0:
             print(f"auto-resuming from existing checkpoint {args.checkpoint}")
     resume_raw = None
@@ -190,7 +192,12 @@ def main():
         from tensorboardX import SummaryWriter
         tb = SummaryWriter(args.tb)
 
-    stage_lo = 0
+    # Budget accounting: an AUTO-resume (restart after preemption) counts the
+    # restored update toward the absolute budget — the run finishes what the
+    # original command asked for. An EXPLICIT --resume is a warm start (e.g.
+    # fine-tuning a shipped artifact): the restored counter is only an offset
+    # and the full --updates budget runs on top of it.
+    stage_lo = 0 if auto_resumed else start_update
     for stage_idx, (ov, updates) in enumerate(stages):
         stage_hi = stage_lo + updates
         if start_update >= stage_hi:
