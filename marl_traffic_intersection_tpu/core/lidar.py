@@ -26,6 +26,7 @@ details reproduced:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .constants import (
@@ -43,15 +44,33 @@ from .geometry import off_road_grid_fast
 
 
 def ray_rel_angles(rays: int = LIDAR_RAYS, fov_deg: float = LIDAR_FOV_DEG) -> np.ndarray:
-    """Relative ray angles in radians (reference: cpp/Lidar.cpp:5-14)."""
-    start = -fov_deg * 0.5
-    step = fov_deg / float(rays - 1) if rays > 1 else 0.0
-    deg = start + np.arange(rays, dtype=np.float64) * step
-    return (deg * np.pi / 180.0).astype(np.float32)
+    """Relative ray angles in radians (reference: cpp/Lidar.cpp:5-14).
+
+    Replicates the reference's float32 op chain exactly:
+    ``deg = start + i*step`` (f32 mul, f32 add) and ``deg * PI_F / 180.0f``
+    (f32 mul, then f32 DIVIDE — g++ keeps the division). A former f64
+    precompute of the same table was 1 ulp off on some rays, which surfaced
+    as one-in-a-million lidar pixel flips vs the oracle (found via the
+    t=898/ray=23 dissection in scripts/pose_probe.py + flip_probe.py).
+    """
+    f = np.float32
+    start = f(-f(fov_deg) * f(0.5))
+    step = f(f(fov_deg) / f(float(rays - 1))) if rays > 1 else f(0.0)
+    pi_f = f(3.14159265358979323846)
+    deg = start + np.arange(rays, dtype=np.float32) * step
+    return (deg * pi_f / f(180.0)).astype(np.float32)
 
 
 _REL_ANGLES = ray_rel_angles()
 _DISTS = (np.arange(LIDAR_SAMPLES, dtype=np.float32) * np.float32(LIDAR_STEP))  # 0, 4, ..., 248
+
+
+# FMA-contraction guard shared with the physics step (see its docstring):
+# the sample coordinate p0 + d*t and the AABB extents |cos|*hl + |sin|*hw
+# must round the product separately on CPU to match the baseline-ISA
+# reference (root-caused by scripts/flip_probe.py: the tail is FMA, not
+# trig ulp — XLA-CPU vectorized cos/sin match libm bit-for-bit).
+from .physics import mul_unfused as _mul_unfused
 
 
 def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask,
@@ -85,8 +104,8 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     # round-trip int(x) -> float(int) is a single float trunc (values are
     # far inside the int32 range), which avoids materializing separate s32
     # grids on the device.
-    sx = self_x + dx[:, None] * dists[None, :]           # (R, S)
-    sy = self_y + dy[:, None] * dists[None, :]
+    sx = self_x + _mul_unfused(dx[:, None], dists[None, :])  # (R, S)
+    sy = self_y + _mul_unfused(dy[:, None], dists[None, :])
     xf = jnp.trunc(sx)
     yf = jnp.trunc(sy)
 
@@ -111,8 +130,8 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     sinA = jnp.sin(obs_heading)
     hl = f32(CAR_LENGTH * 0.5)
     hw = f32(CAR_WIDTH * 0.5)
-    ex = jnp.abs(cosA) * hl + jnp.abs(sinA) * hw          # (M,)
-    ey = jnp.abs(sinA) * hl + jnp.abs(cosA) * hw
+    ex = _mul_unfused(jnp.abs(cosA), hl) + _mul_unfused(jnp.abs(sinA), hw)  # (M,)
+    ey = _mul_unfused(jnp.abs(sinA), hl) + _mul_unfused(jnp.abs(cosA), hw)
     inf = f32(jnp.inf)
     lox = jnp.where(active, obs_x - ex, inf)
     hix = jnp.where(active, obs_x + ex, -inf)
@@ -204,8 +223,8 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
     dx = jnp.cos(ray_angle)
     dy = -jnp.sin(ray_angle)
 
-    sx = self_x + dx[:, None] * dists[None, :]           # (R, S)
-    sy = self_y + dy[:, None] * dists[None, :]
+    sx = self_x + _mul_unfused(dx[:, None], dists[None, :])  # (R, S)
+    sy = self_y + _mul_unfused(dy[:, None], dists[None, :])
     xf = jnp.trunc(sx)
     yf = jnp.trunc(sy)
 
@@ -231,8 +250,8 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
     sinA = jnp.sin(obs_heading)
     hl = f32(CAR_LENGTH * 0.5)
     hw = f32(CAR_WIDTH * 0.5)
-    ex = jnp.abs(cosA) * hl + jnp.abs(sinA) * hw
-    ey = jnp.abs(sinA) * hl + jnp.abs(cosA) * hw
+    ex = _mul_unfused(jnp.abs(cosA), hl) + _mul_unfused(jnp.abs(sinA), hw)  # (M,)
+    ey = _mul_unfused(jnp.abs(sinA), hl) + _mul_unfused(jnp.abs(cosA), hw)
     inf = f32(jnp.inf)
     lox = jnp.where(active, obs_x - ex, inf)
     hix = jnp.where(active, obs_x + ex, -inf)
@@ -254,7 +273,7 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
 
         def u(k):
             t = k.astype(f32) * step_f
-            return sgn * jnp.trunc(p0 + d * t)
+            return sgn * jnp.trunc(p0 + _mul_unfused(d, t))
 
         enter = _first_true(lambda k: u(k) >= u_lo, d.shape, pow2)
         exit_ = _first_true(lambda k: u(k) > u_hi, d.shape, pow2)

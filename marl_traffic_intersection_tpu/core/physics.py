@@ -38,6 +38,26 @@ _PI = np.float32(PI_F)
 _TWO_PI = np.float32(2.0) * _PI
 
 
+def mul_unfused(a, b):
+    """f32 product with its OWN rounding step (no FMA contraction) on CPU.
+
+    The reference is built for baseline x86-64 (no FMA): every ``a*b + c``
+    rounds the product and the sum separately. XLA's CPU backend lets LLVM
+    contract the pair into a single-rounding FMA — a 1-ulp pose/sample drift
+    per step that the lockstep suite surfaces as the EXACTNESS.md float
+    tails. LLVM contracts even across ``optimization_barrier`` and
+    f32<->s32 bitcast round-trips (verified empirically); routing the
+    product through a data-dependent select is the one in-fusion pattern
+    the emitter cannot look through. The TPU VPU rounds mul and add
+    separately already (EXACTNESS.md device table), so the TPU hot path
+    keeps the clean fused form.
+    """
+    p = a * b
+    if jax.default_backend() == "cpu":
+        return jnp.where(jnp.isfinite(p), p, jnp.float32(0.0))
+    return p
+
+
 def wrap_angle(a):
     """Wrap to [-pi, pi) with C ``fmod`` truncation semantics (Car.cpp:33-35)."""
     a = jnp.fmod(a + _PI, _TWO_PI)
@@ -66,20 +86,23 @@ def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt) -> C
 
     acc = throttle * f32(MAX_ACC)
     target_steering = steer * f32(MAX_STEERING_ANGLE)
-    steering_angle = steering_angle + (target_steering - steering_angle) * f32(0.2)
+    # mul_unfused on every a*b feeding an add: pins the reference's separate
+    # product rounding on CPU (g++ baseline ISA emits no FMA; see docstring)
+    steering_angle = steering_angle + mul_unfused(
+        target_steering - steering_angle, f32(0.2))
 
     # Exact float equality on throttle == 0 (Car.cpp:17-19)
     v = jnp.where(throttle == f32(0.0), v * f32(0.95), v)
 
-    v = v + acc * dt
+    v = v + mul_unfused(acc, dt)
     v = jnp.clip(v, f32(0.0), f32(PHYSICS_MAX_SPEED))
 
-    ang_vel = (v / f32(WHEELBASE)) * jnp.tan(steering_angle)
+    ang_vel = mul_unfused(v / f32(WHEELBASE), jnp.tan(steering_angle))
     heading = jnp.where(jnp.abs(v) > f32(0.1), heading + ang_vel, heading)
     heading = wrap_angle(heading)
 
-    x = x + v * jnp.cos(heading)
-    y = y - v * jnp.sin(heading)
+    x = x + mul_unfused(v, jnp.cos(heading))
+    y = y - mul_unfused(v, jnp.sin(heading))
     return CarPhysicsOut(x, y, v, heading, steering_angle, acc)
 
 

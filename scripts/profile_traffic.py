@@ -17,6 +17,11 @@ if os.environ.get("DEVICE", "tpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 else:
     import jax
+    # persistent compile cache (same as bench.py): tunnel compiles are slow
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
