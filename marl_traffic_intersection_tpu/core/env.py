@@ -109,8 +109,11 @@ class EnvConfig:
     respawn_enabled: bool = True
     max_steps: int = 2000
     max_npcs: int = 32
-    lidar_impl: str = "xla"  # "xla" (fused jnp) | "interval" (exact
-    #   binary-search obstacle intervals) | "pallas" (TPU kernel)
+    lidar_impl: str = "auto"  # "auto" (interval when traffic_flow — the
+    #   binary-search obstacle intervals beat the dense march once 32 NPC
+    #   slots join the obstacle set, +22% on the full traffic step; dense
+    #   "xla" otherwise) | "xla" (fused jnp dense march) | "interval" |
+    #   "pallas" (TPU kernel). All impls are bit-identical (tests/test_lidar_fuzz.py).
     npc_mode: str = "exact"  # "exact" (wave-scheduled, bit-match) |
     #                          "serial" (reference-shaped sequential loop,
     #                          bitwise equal to "exact", kept for diff tests) |
@@ -412,10 +415,13 @@ class IntersectionEnv:
             om = jnp.concatenate([jnp.ones((n,), bool), npc.alive])
         else:
             ox, oy, oh, om = x, y, heading, jnp.ones((n,), bool)
-        if cfg.lidar_impl == "pallas":
+        impl = cfg.lidar_impl
+        if impl == "auto":  # interval wins once the 32 NPC slots join the set
+            impl = "interval" if cfg.traffic_flow else "xla"
+        if impl == "pallas":
             from ..ops.lidar_pallas import make_lidar_batch
             scan = make_lidar_batch(cfg.num_lanes)(x, y, heading, ox, oy, oh, om)
-        elif cfg.lidar_impl == "interval":
+        elif impl == "interval":
             scan = jax.vmap(lambda a, b, c: lidar_scan_interval(
                 a, b, c, ox, oy, oh, om, cfg.num_lanes))(x, y, heading)
         else:

@@ -69,8 +69,9 @@ def main():
     ap.add_argument("--npc-mode", choices=["exact", "fast"], default="fast",
                     help="NPC update semantics: bit-match sequential vs "
                          "synchronous training-throughput mode")
-    ap.add_argument("--lidar-impl", choices=["xla", "interval", "pallas"],
-                    default="xla")
+    ap.add_argument("--lidar-impl",
+                    choices=["auto", "xla", "interval", "pallas"],
+                    default="auto")
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--rollout-len", type=int, default=64)
     ap.add_argument("--model", choices=["mlp", "attention", "conv", "gru", "central"],
