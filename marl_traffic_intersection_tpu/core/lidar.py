@@ -199,10 +199,16 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
     is ONE contiguous k-interval whose boundaries are found by binary search
     on the exact per-sample predicate (_first_true) — unconditionally
     bit-identical to the dense test, at 4·(1+log2 S) predicate evaluations
-    per (ray, obstacle) instead of S box tests. The road/out-of-bounds march
-    stays dense. Event-priority encoding: oob → 2k, hits → 2k+1, so at the
-    SAME sample oob (the reference's bounds-check break, cpp/Lidar.cpp:38-40)
-    beats a hit, while any earlier sample still wins the min.
+    per (ray, obstacle) instead of S box tests.
+
+    The screen-bounds break (cpp/Lidar.cpp:38-40) is searched the same way:
+    the screen is a box, so {k : sample in-bounds} is the intersection of two
+    per-axis preimages of intervals under weakly-monotone maps — ONE
+    contiguous k-interval — and the first out-of-bounds sample is its
+    endpoint (0 if the interval misses k=0). Only the road test (non-convex
+    region: hit set is not an interval) stays dense over the sample grid.
+    Event-priority encoding: oob → 2k, hits → 2k+1, so at the SAME sample
+    oob beats a hit, while any earlier sample still wins the min.
     """
     f32 = jnp.float32
     if (rays, fov_deg, max_dist, step_size) == (LIDAR_RAYS, LIDAR_FOV_DEG,
@@ -228,14 +234,12 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
     xf = jnp.trunc(sx)
     yf = jnp.trunc(sy)
 
-    oob = (xf < f32(0)) | (xf >= f32(WIDTH)) | (yf < f32(0)) | (yf >= f32(HEIGHT))
     pos_dist = dists > f32(0.0)
     road_hit = pos_dist[None, :] & off_road_grid_fast(xf, yf, num_lanes)
 
     samp2 = jnp.arange(0, 2 * nsamp, 2, dtype=jnp.int32)
     big = jnp.int32(2 * nsamp)
-    code = jnp.where(oob, samp2[None, :],
-                     jnp.where(road_hit, samp2[None, :] + 1, big))
+    code = jnp.where(road_hit, samp2[None, :] + 1, big)
     first = jnp.min(code, axis=-1)                        # (R,)
 
     # ---- obstacle AABBs as exact k-intervals per ray
@@ -278,6 +282,18 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
         enter = _first_true(lambda k: u(k) >= u_lo, d.shape, pow2)
         exit_ = _first_true(lambda k: u(k) > u_hi, d.shape, pow2)
         return enter, exit_
+
+    # screen-bounds break as a searched index: inside-set is one k-interval
+    # (see docstring); oob(k) is its complement, so the first oob sample is 0
+    # when the interval misses k=0, else the interval's exclusive end. The
+    # integer-valued xf makes `xf >= WIDTH` ⟺ `xf > WIDTH-1`, so the [0, W-1]
+    # box bounds reproduce the reference's `< 0 || >= WIDTH` test exactly.
+    sx_in, sx_out = axis_interval(self_x, dx, f32(0.0), f32(WIDTH - 1))
+    sy_in, sy_out = axis_interval(self_y, dy, f32(0.0), f32(HEIGHT - 1))
+    inside_start = jnp.maximum(sx_in, sy_in)
+    inside_end = jnp.minimum(sx_out, sy_out)
+    first_oob = jnp.where(inside_start > 0, 0, inside_end)  # (R,)
+    first = jnp.minimum(first, 2 * first_oob)
 
     last_k = jnp.int32(nsamp - 1)
     for m_i in range(obs_x.shape[0]):
