@@ -185,10 +185,12 @@ def main():
                          "one jitted scan (auto-reset; event-counted stats "
                          "over thousands of episodes in seconds). Implies "
                          "--device default and --policy checkpoint/random")
-    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
+    ap.add_argument("--device", choices=["cpu", "default"], default=None,
                     help="single-env eval loops are latency-bound: CPU beats "
-                         "the tunneled TPU ~100x here (CLAUDE.md); --vector "
-                         "flips the tradeoff")
+                         "the tunneled TPU ~100x here (CLAUDE.md), so they "
+                         "default to cpu; --vector defaults to the device "
+                         "backend but honors an explicit --device cpu (e.g. "
+                         "batch A/Bs that must not contend for the chip)")
     ap.add_argument("--npc-mode", choices=["exact", "serial", "fast"],
                     default="exact",
                     help="NPC traffic semantics (traffic configs only): "
@@ -197,7 +199,8 @@ def main():
                          "the training default (docs/NPC_MODES.md)")
     args = ap.parse_args()
 
-    if args.device == "cpu" and not args.vector:
+    device = args.device or ("default" if args.vector else "cpu")
+    if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
