@@ -51,11 +51,26 @@ def mul_unfused(a, b):
     the emitter cannot look through. The TPU VPU rounds mul and add
     separately already (EXACTNESS.md device table), so the TPU hot path
     keeps the clean fused form.
+
+    The select is VALUE-PRESERVING: ``where(isnan(p), nan, p)`` returns p
+    bit-for-bit for every input (NaN and Inf propagate like the reference's
+    plain multiply) while still being data-dependent enough to block LLVM's
+    mul+add contraction. tests/test_physics.py pins the NaN/Inf propagation,
+    and the bitwise lockstep suite fails loudly if a compiler upgrade learns
+    to fold the select and resumes contracting.
+
+    Platform dispatch happens at LOWERING time (``lax.platform_dependent``),
+    not trace time: code explicitly compiled for CPU from a TPU-attached
+    process (``jit(..., backend='cpu')``) still gets the guard, and the TPU
+    lowering stays select-free (the guard would cost ~2 VPU ops per element
+    on the roofline-bound lidar sample grid).
     """
     p = a * b
-    if jax.default_backend() == "cpu":
-        return jnp.where(jnp.isfinite(p), p, jnp.float32(0.0))
-    return p
+
+    def _guarded(q):
+        return jnp.where(jnp.isnan(q), jnp.float32(jnp.nan), q)
+
+    return jax.lax.platform_dependent(p, cpu=_guarded, default=lambda q: q)
 
 
 def wrap_angle(a):

@@ -42,6 +42,30 @@ def test_speed_clamps_and_turn_gate():
     assert np.float32(out.heading) == expect
 
 
+def test_mul_unfused_value_preserving():
+    """The CPU FMA-contraction guard must be value-preserving: NaN and Inf
+    propagate exactly like a plain multiply (the reference's behavior on a
+    diverged state), and finite products are bit-identical. If a compiler
+    upgrade learns to fold the nan-select and resumes mul+add contraction,
+    the bitwise lockstep suite (EXACTNESS.md) fails loudly; this test pins
+    the propagation contract itself."""
+    f = jax.jit(P.mul_unfused)
+    assert np.isnan(float(f(jnp.float32(np.nan), jnp.float32(2.0))))
+    assert float(f(jnp.float32(np.inf), jnp.float32(2.0))) == np.inf
+    assert float(f(jnp.float32(-np.inf), jnp.float32(2.0))) == -np.inf
+    # inf * 0 -> nan, like the plain product
+    assert np.isnan(float(f(jnp.float32(np.inf), jnp.float32(0.0))))
+    # overflow to inf propagates (the old guard flushed it to 0.0)
+    big = jnp.float32(3e38)
+    assert float(f(big, big)) == np.inf
+    # finite values: bit-identical to the plain f32 product
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1e3, 1e3, 4096).astype(np.float32)
+    b = rng.uniform(-1e3, 1e3, 4096).astype(np.float32)
+    got = np.asarray(f(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got.view(np.int32), (a * b).view(np.int32))
+
+
 def test_sat_basic():
     c = P.car_corners(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
     assert c.shape == (4, 2)
