@@ -74,6 +74,65 @@ class VectorEnv:
         state = jax.vmap(self._reset_state_one)(keys)
         return state, jax.vmap(self.env.observe)(state)
 
+    # --------------------------------------------- NPC slot-prefix tiering
+    #
+    # NPC spawns always write the FIRST free slot (core/npc.py npc_try_spawn),
+    # so the alive set concentrates in a low slot prefix: at density 1.0 the
+    # steady state is ~4 alive of 32 slots and a slot index >= 16 requires 17
+    # simultaneously-alive NPCs in one env — essentially never. When no env in
+    # the batch can touch a tail slot this tick, stepping a [:, :tier] slice
+    # of the NPC pool is bitwise identical to the full-width program (dead
+    # slots only ever contribute through alive-masked reductions, and the
+    # step never writes a dead slot), while the ghost-scan planning tensors
+    # (tier^2*160 vs M^2*160), the NPC-NPC SAT matrix, the interaction graph,
+    # and the lidar/neighbor obstacle sets all shrink ~4x. A batch-level
+    # lax.cond picks the full program whenever (a) any tail slot is alive or
+    # (b) any env's first `tier` slots are all occupied (a spawn could then
+    # write a tail slot). Exactness is unconditional: the fallback IS the
+    # full program. (VERDICT r2 task 1: cheaper exact conflict test.)
+
+    def _stepped(self, state: EnvState, actions, dt, with_obs: bool):
+        step_fn = jax.vmap(partial(self.env.step, dt=dt, with_obs=with_obs))
+        cfg = self.env.config
+        if not cfg.traffic_flow:
+            return step_fn(state, actions)
+        m = state.npc.alive.shape[1]
+        if cfg.npc_tier == 0:
+            tiers = []
+        elif cfg.npc_tier > 0:
+            tiers = [cfg.npc_tier]
+        else:  # auto: two nested tiers (at density 1.0 the steady state is
+            #    ~2-4 alive with a measured batch max of 6 over 1024 envs, so
+            #    the m//4 = 8-slot program runs nearly every tick)
+            tiers = [m // 4, m // 2]
+        tiers = sorted({t for t in tiers if 0 < t < m})
+
+        def run_sliced(st, tier):
+            small = st._replace(npc=jax.tree.map(
+                lambda a: a[:, :tier] if a.ndim >= 2 else a, st.npc))
+            ns, out = step_fn(small, actions)
+            # tail slots are untouched by the step under the predicate
+            npc_full = jax.tree.map(
+                lambda s, o: jnp.concatenate([s, o[:, tier:]], axis=1)
+                if o.ndim >= 2 else s,
+                ns.npc, st.npc)
+            return ns._replace(npc=npc_full), out
+
+        def run(remaining, st):
+            if not remaining:
+                return step_fn(st, actions)
+            tier = remaining[0]
+            alive = st.npc.alive
+            too_big = jnp.any(alive[:, tier:]) | \
+                jnp.any(jnp.all(alive[:, :tier], axis=-1))
+            return jax.lax.cond(
+                too_big,
+                lambda s: run(remaining[1:], s),
+                lambda s: run_sliced(s, tier),
+                st)
+
+        return run(tiers, state)
+
     def jit_step(self, dt=DT_DEFAULT, donate: bool = True):
         """Jitted per-call step for eager driving loops.
 
@@ -96,13 +155,12 @@ class VectorEnv:
         extra observe over the batch; the default path stays single-observe.
         """
         if not self.auto_reset:
-            return jax.vmap(partial(self.env.step, dt=dt))(state, actions)
+            return self._stepped(state, actions, dt, with_obs=True)
 
         # step without obs, merge in fresh states for finished envs, then
         # build the observation once on the merged state (equivalent to
         # observing stepped and fresh states separately, at half the cost)
-        new_state, out = jax.vmap(partial(self.env.step, dt=dt, with_obs=False))(
-            state, actions)
+        new_state, out = self._stepped(state, actions, dt, with_obs=False)
         ep_done = out.terminated | out.truncated                  # (B,)
         reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(new_state.key)
         fresh_state = jax.vmap(self._reset_state_one)(reset_keys)
