@@ -127,8 +127,33 @@ def _central_rule(path: str) -> P:
     return _mlp_rule(path)
 
 
+def _sac_rule(path: str) -> P:
+    """SquashedGaussianActor: plain MLP torso — same megatron split as the
+    MLP family (first torso column-sharded, second row-sharded)."""
+    return _mlp_rule(path)
+
+
+def _sac_q_rule(path: str) -> P:
+    """Twin-stacked QCritic (leading axis 2 over the two critics, applied
+    under vmap — parallel/sac.py): the TP split rides the *feature* dims
+    behind the twin axis. torso_0 column-sharded on the hidden dim, torso_1
+    and the scalar head row-sharded on their input dim (XLA inserts the psum
+    at each contraction); the twin axis itself stays whole per device. The
+    torso_0 input dim (OBS_DIM+act_dim = 129, odd) never divides a tp axis,
+    so column-on-output is also the only viable first split."""
+    k = path.endswith("kernel")
+    if "torso_0" in path:
+        return P(None, None, "model") if k else P(None, "model")
+    if "torso_1" in path:
+        return P(None, "model", None) if k else P()
+    if path.endswith("q/kernel"):
+        return P(None, "model", None)
+    return P()
+
+
 _RULES = {"mlp": _mlp_rule, "attention": _transformer_rule, "conv": _conv_rule,
-          "gru": _gru_rule, "central": _central_rule}
+          "gru": _gru_rule, "central": _central_rule, "sac": _sac_rule,
+          "sac_q": _sac_q_rule}
 
 
 def param_shardings(mesh: Mesh, params, model_kind: str = "mlp"):

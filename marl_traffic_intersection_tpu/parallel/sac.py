@@ -259,3 +259,53 @@ class SACLearner:
             one, (ts, env_state, obs, key), None,
             length=self.cfg.steps_per_call)
         return ts, env_state, obs, key, jax.tree.map(lambda x: x[-1], metrics)
+
+    # ------------------------------------------------------------- sharding
+    def jit_train_step(self, mesh=None, model_kind: str = "sac"):
+        """jit the train step, optionally with mesh shardings (same contract
+        as PPOLearner.jit_train_step): env batch AND the HBM replay ring
+        sharded over 'data', actor params on the 'sac' TP rule, twin-stacked
+        Q params on 'sac_q' (feature-dim megatron splits behind the twin
+        axis — parallel/mesh.py). The ring's row axis is a chunk multiple of
+        the env batch, so each insert's dynamic_update_slice block nests
+        inside one data shard whenever dp divides n_chunks; sampling is one
+        cross-shard row gather per update (256x129 floats — params-scale
+        traffic, negligible next to the rollout)."""
+        if mesh is None:
+            return jax.jit(self.train_step, donate_argnums=(0, 1))
+        from .mesh import (data_sharding, hybrid_data_sharding,
+                           param_shardings, replicate)
+
+        def fn(ts, env_state, obs, key):
+            return self.train_step(ts, env_state, obs, key)
+
+        dsh = hybrid_data_sharding(mesh) if "replica" in mesh.axis_names \
+            else data_sharding(mesh)
+        rep = replicate(mesh)
+
+        def shard_ts(ts: SACState) -> SACState:
+            ash = param_shardings(mesh, ts.actor_params, model_kind)
+            qsh = param_shardings(mesh, ts.q_params, "sac_q")
+            buf = ts.buffer
+            row = lambda x: jax.device_put(x, dsh)   # (C, ...) ring rows
+            return ts._replace(
+                actor_params=jax.tree.map(jax.device_put, ts.actor_params, ash),
+                q_params=jax.tree.map(jax.device_put, ts.q_params, qsh),
+                q_target=jax.tree.map(jax.device_put, ts.q_target, qsh),
+                log_alpha=jax.device_put(ts.log_alpha, rep),
+                actor_opt=jax.device_put(ts.actor_opt, rep),
+                q_opt=jax.device_put(ts.q_opt, rep),
+                alpha_opt=jax.device_put(ts.alpha_opt, rep),
+                buffer=ReplayBuffer(
+                    obs=row(buf.obs), action=row(buf.action),
+                    reward=row(buf.reward), next_obs=row(buf.next_obs),
+                    done=row(buf.done),
+                    ptr=jax.device_put(buf.ptr, rep),
+                    size=jax.device_put(buf.size, rep)),
+                update_count=jax.device_put(ts.update_count, rep))
+
+        def shard_env(env_state, obs):
+            put = lambda x: jax.device_put(x, dsh)
+            return jax.tree.map(put, env_state), jax.device_put(obs, dsh)
+
+        return jax.jit(fn, donate_argnums=(0, 1)), shard_ts, shard_env

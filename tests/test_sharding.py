@@ -77,6 +77,35 @@ def test_hybrid_mesh_train_step():
     assert np.isfinite(float(metrics["pg_loss"]))
 
 
+@pytest.mark.parametrize("tp", [1, 2])
+def test_sac_train_step_dp_tp(tp):
+    """SAC sharded train step (VERDICT r2 task 5): HBM replay ring sharded
+    over 'data', twin-Q params TP-split behind the twin axis ('sac_q' rule),
+    dp x tp mesh. Compiles, runs, finite losses, ring stays sharded."""
+    from marl_traffic_intersection_tpu.parallel.sac import SACConfig, SACLearner
+
+    mesh = make_mesh(n_data=8 // tp, n_model=tp)
+    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=32))
+    venv = VectorEnv(env, num_envs=8)
+    learner = SACLearner(venv, SACConfig(batch_size=32, buffer_capacity=1024,
+                                         warmup=16, steps_per_call=4))
+    ts = learner.init(jax.random.PRNGKey(0))
+    state, obs = venv.reset(jax.random.PRNGKey(1))
+
+    step, shard_ts, shard_env = learner.jit_train_step(mesh)
+    ts = shard_ts(ts)
+    if tp == 2:
+        # the twin-stacked torso_1 kernel really is TP-split on its input dim
+        spec = ts.q_params["params"]["torso_1"]["kernel"].sharding.spec
+        assert tuple(spec) == (None, "model", None)
+    state, obs = shard_env(state, obs)
+    ts, state, obs, key, metrics = step(ts, state, obs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["q_loss"]))
+    assert np.isfinite(float(metrics["actor_loss"]))
+    # replay ring rows remain spread over every device after the update
+    assert len(ts.buffer.obs.sharding.device_set) == 8
+
+
 def test_full_train_step_dp_tp():
     """dp=4 x tp=2 PPO train step on tiny shapes: compiles and runs."""
     mesh = make_mesh(n_data=4, n_model=2)
