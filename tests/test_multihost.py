@@ -22,16 +22,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distributed_train_step():
+def _run_procs(num_procs: int):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
-        subprocess.Popen([sys.executable, str(_WORKER), "2", str(i), str(port)],
+        subprocess.Popen([sys.executable, str(_WORKER), str(num_procs),
+                          str(i), str(port)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
-        for i in range(2)
+        for i in range(num_procs)
     ]
     outs = []
     for p in procs:
@@ -44,7 +44,17 @@ def test_two_process_distributed_train_step():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i}: OK" in out, out[-2000:]
-    # both processes must agree on the synchronized loss
-    l0 = [l for l in outs[0].splitlines() if "OK pg_loss" in l][0].split("=")[-1]
-    l1 = [l for l in outs[1].splitlines() if "OK pg_loss" in l][0].split("=")[-1]
-    assert l0 == l1
+    # every process must agree on the synchronized loss bitwise
+    losses = [[l for l in o.splitlines() if "OK pg_loss" in l][0].split("=")[-1]
+              for o in outs]
+    assert len(set(losses)) == 1, losses
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("num_procs", [2, 4])
+def test_multi_process_distributed_train_step(num_procs):
+    """2- and 4-process jax.distributed runs (2 virtual devices each — the
+    4-proc case assembles an 8-device global mesh across process
+    boundaries): sharded PPO train step with cross-process gradient
+    collectives, bitwise-equal synced losses on every process."""
+    _run_procs(num_procs)

@@ -46,8 +46,13 @@ def _cost(compiled):
     return float(ca.get("flops", 0.0))
 
 
+def _bytes(compiled):
+    ca = compiled.cost_analysis() or {}
+    return float(ca.get("bytes accessed", 0.0))
+
+
 def test_env_step_per_device_cost_invariant_and_collective_free():
-    flops = {}
+    flops, nbytes = {}, {}
     for n in (1, 4, 8):
         compiled = _env_step_compiled(n)
         txt = compiled.as_text()
@@ -55,9 +60,15 @@ def test_env_step_per_device_cost_invariant_and_collective_free():
                    "collective-permute", "all-to-all"):
             assert op not in txt, f"unexpected collective {op} at mesh size {n}"
         flops[n] = _cost(compiled)  # XLA reports per-device cost under SPMD
-    # per-device cost invariant to the mesh size (weak scaling by construction)
+        nbytes[n] = _bytes(compiled)
+    # per-device cost invariant to the mesh size (weak scaling by
+    # construction): FLOPs (compute roofline) AND bytes accessed (HBM
+    # bandwidth roofline — the binding one for the env step, PERF.md)
     assert flops[4] == pytest.approx(flops[1], rel=0.05)
     assert flops[8] == pytest.approx(flops[1], rel=0.05)
+    assert nbytes[1] > 0.0
+    assert nbytes[4] == pytest.approx(nbytes[1], rel=0.05)
+    assert nbytes[8] == pytest.approx(nbytes[1], rel=0.05)
 
 
 def test_train_step_collectives_are_param_sized_only():
