@@ -31,7 +31,9 @@ _CAR_COLORS = [(66, 135, 245), (235, 64, 52), (52, 235, 86), (245, 188, 66),
                (188, 66, 245), (66, 235, 227)]
 _NPC_COLOR = (160, 160, 160)
 _LIDAR_HIT = (255, 80, 80)
-_ROUTE = (90, 160, 255)
+_ROUTE = (0, 255, 255)       # RouteCyan (RenderColors.h:19)
+_TARGET = (255, 0, 0)        # TargetRed (RenderColors.h:20)
+_BOUNDARY = (0, 0, 0)        # RoadBoundary (RenderColors.h:40)
 
 
 class Renderer:
@@ -73,16 +75,62 @@ class Renderer:
             d.line([0, cy + off, cx - stop, cy + off], fill=_YELLOW, width=2)
             d.line([cx + stop, cy + off, WIDTH, cy + off], fill=_YELLOW, width=2)
 
-        # dashed lane separators (Renderer.cpp lane dashes, simplified)
+        # dashed lane separators (Renderer.cpp:480-518 draw_lane_dashes):
+        # 20 px dash / 20 px gap phased from the screen edge toward the stop
+        # offset, last segment clamped so dashes never cross the stop line
+        def dash(x0, y0, x1, y1):
+            dist = float(np.hypot(x1 - x0, y1 - y0))
+            if dist <= 0:
+                return
+            dash_len = 20.0
+            steps = int(dist / (dash_len * 2))
+            dx_, dy_ = (x1 - x0) / dist, (y1 - y0) / dist
+            for i in range(steps + 1):
+                sx = x0 + dx_ * i * dash_len * 2
+                sy = y0 + dy_ * i * dash_len * 2
+                ex_, ey_ = sx + dx_ * dash_len, sy + dy_ * dash_len
+                if (i * dash_len * 2 + dash_len) / dist >= 1.0:
+                    ex_, ey_ = x1, y1
+                d.line([sx, sy, ex_, ey_], fill=_WHITE, width=2)
+
         for k in range(1, self.num_lanes):
-            for off in (k * int(LANE_WIDTH_PX), -k * int(LANE_WIDTH_PX)):
-                for t0 in range(0, HEIGHT, 30):
-                    if abs(t0 - cy) > stop:
-                        d.line([cx + off, t0, cx + off, min(t0 + 15, HEIGHT)],
-                               fill=_WHITE, width=1)
-                    if abs(t0 - cx) > stop:
-                        d.line([t0, cy + off, min(t0 + 15, WIDTH), cy + off],
-                               fill=_WHITE, width=1)
+            off = k * int(LANE_WIDTH_PX)
+            dash(cx - off, 0, cx - off, cy - stop)
+            dash(cx + off, 0, cx + off, cy - stop)
+            dash(cx - off, HEIGHT, cx - off, cy + stop)
+            dash(cx + off, HEIGHT, cx + off, cy + stop)
+            dash(0, cy - off, cx - stop, cy - off)
+            dash(0, cy + off, cx - stop, cy + off)
+            dash(WIDTH, cy - off, cx + stop, cy - off)
+            dash(WIDTH, cy + off, cx + stop, cy + off)
+
+        # stop lines (Renderer.cpp:427-437): white, width 4, half-road
+        # segments on the incoming side of each approach
+        d.line([cx - rw, cy - stop, cx, cy - stop], fill=_WHITE, width=4)
+        d.line([cx, cy + stop, cx + rw, cy + stop], fill=_WHITE, width=4)
+        d.line([cx - stop, cy, cx - stop, cy + rw], fill=_WHITE, width=4)
+        d.line([cx + stop, cy, cx + stop, cy - rw], fill=_WHITE, width=4)
+
+        # road boundaries + rounded-corner quarter arcs (Renderer.cpp:439-476)
+        bw = 3
+        d.line([cx - rw, 0, cx - rw, cy - rw - cr], fill=_BOUNDARY, width=bw)
+        d.line([cx + rw, 0, cx + rw, cy - rw - cr], fill=_BOUNDARY, width=bw)
+        d.line([cx - rw, HEIGHT, cx - rw, cy + rw + cr], fill=_BOUNDARY, width=bw)
+        d.line([cx + rw, HEIGHT, cx + rw, cy + rw + cr], fill=_BOUNDARY, width=bw)
+        d.line([0, cy - rw, cx - rw - cr, cy - rw], fill=_BOUNDARY, width=bw)
+        d.line([0, cy + rw, cx - rw - cr, cy + rw], fill=_BOUNDARY, width=bw)
+        d.line([WIDTH, cy - rw, cx + rw + cr, cy - rw], fill=_BOUNDARY, width=bw)
+        d.line([WIDTH, cy + rw, cx + rw + cr, cy + rw], fill=_BOUNDARY, width=bw)
+        # arc centers == grass-circle centers; PIL angles are clockwise
+        # from 3 o'clock in y-down screen space
+        for (ax, ay, a0, a1) in [
+            (cx - rw - cr, cy - rw - cr, 0, 90),      # top-left corner
+            (cx + rw + cr, cy - rw - cr, 90, 180),    # top-right
+            (cx - rw - cr, cy + rw + cr, 270, 360),   # bottom-left
+            (cx + rw + cr, cy + rw + cr, 180, 270),   # bottom-right
+        ]:
+            d.arc([ax - cr, ay - cr, ax + cr, ay + cr], a0, a1,
+                  fill=_BOUNDARY, width=bw)
         return img
 
     # ------------------------------------------------------------------ frame
@@ -101,10 +149,11 @@ class Renderer:
         if show_route and len(ex) > 0:  # car 0's route (Renderer.cpp:377-403)
             rid = int(np.asarray(ego.route_id)[0])
             path = self.env.table.paths[rid]
-            d.line([tuple(p) for p in path.tolist()], fill=_ROUTE, width=1)
+            d.line([tuple(p) for p in path.tolist()], fill=_ROUTE, width=2)
+            # car-0 lookahead target dot, red r=4 (Renderer.cpp:391-402)
             la = min(int(np.asarray(ego.path_index)[0]) + 10, len(path) - 1)
             px, py = path[la]
-            d.ellipse([px - 3, py - 3, px + 3, py + 3], fill=_ROUTE)
+            d.ellipse([px - 4, py - 4, px + 4, py + 4], fill=_TARGET)
 
         npc = state.npc
         nalive = np.asarray(npc.alive)
