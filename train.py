@@ -66,9 +66,14 @@ def main():
     ap.add_argument("--agents", type=int, default=4)
     ap.add_argument("--traffic", action="store_true")
     ap.add_argument("--density", type=float, default=0.5)
-    ap.add_argument("--npc-mode", choices=["exact", "fast"], default="fast",
+    ap.add_argument("--npc-mode", choices=["exact", "fast"], default="exact",
                     help="NPC update semantics: bit-match sequential vs "
-                         "synchronous training-throughput mode")
+                         "synchronous approximation. Default flipped to "
+                         "'exact' in round 3: the config-4 episode A/B "
+                         "(docs/NPC_MODES.md) shows fast biases vehicle-"
+                         "crash statistics ~5% under pressure, and the "
+                         "slot-prefix tiering leaves exact within ~10% of "
+                         "fast's throughput")
     ap.add_argument("--lidar-impl",
                     choices=["auto", "xla", "interval", "pallas"],
                     default="auto")

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--agents", type=int, default=2)
     ap.add_argument("--traffic", action="store_true")
     ap.add_argument("--density", type=float, default=0.5)
-    ap.add_argument("--npc-mode", choices=["exact", "fast"], default="fast")
+    ap.add_argument("--npc-mode", choices=["exact", "fast"], default="exact")
     ap.add_argument("--calls", type=int, default=100,
                     help="jitted train calls (steps_per_call env steps each)")
     ap.add_argument("--steps-per-call", type=int, default=8)
