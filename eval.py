@@ -195,8 +195,9 @@ def main():
                     default="exact",
                     help="NPC traffic semantics (traffic configs only): "
                          "exact = reference-sequential (conflict-graph "
-                         "hybrid), fast = synchronous approximation used as "
-                         "the training default (docs/NPC_MODES.md)")
+                         "hybrid, the default everywhere since round 3), "
+                         "fast = opt-in synchronous approximation "
+                         "(docs/NPC_MODES.md)")
     args = ap.parse_args()
 
     device = args.device or ("default" if args.vector else "cpu")

@@ -48,12 +48,13 @@ CONFIGS = {
 }
 
 
-def run_config(cid: int, steps: int, seed: int = 0):
+def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False):
     c = CONFIGS[cid]
     n = len(c["routes"])
     cfg = EnvConfig(num_agents=n, traffic_flow=c["traffic"],
                     traffic_density=c.get("density", 0.5),
-                    use_team_reward=c["team"], max_steps=10 ** 9)
+                    use_team_reward=c["team"], max_steps=10 ** 9,
+                    exact_trig=exact_trig)
     env = IntersectionEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(seed), env.table.route_ids(c["routes"]))
     step = jax.jit(env.step)
@@ -138,11 +139,15 @@ def main():
     ap.add_argument("--write", action="store_true")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
                     help="platform for the JAX side (handled at import)")
+    ap.add_argument("--exact-trig", action="store_true",
+                    help="enable EnvConfig.exact_trig (bit-replica libm "
+                         "trig for the ego pose integrator; closes the "
+                         "TPU pose-drift ulp, first compile is slow)")
     args = ap.parse_args()
 
     results = []
     for cid in args.configs:
-        r = run_config(cid, args.steps)
+        r = run_config(cid, args.steps, exact_trig=args.exact_trig)
         print(json.dumps(r), flush=True)
         results.append(r)
 

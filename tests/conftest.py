@@ -13,6 +13,12 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the tier-cond programs and the emulated-f64
+# exact-trig graphs take minutes to compile on 2 shared cores; cache hits
+# make suite reruns cheap (same cache dir bench.py/eval.py use)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import pytest
 
