@@ -131,6 +131,15 @@ class EnvConfig:
     #   1.0 the batch maximum alive count measured over 1024 envs is 6, so
     #   the 8-slot program carries nearly every tick); >0 = that single
     #   tier; 0 = disabled.
+    exact_trig: bool = False  # evaluate the EGO pose integrator's tan/cos/
+    #   sin through ops/exact_trig.py (bit replicas of the host libm the
+    #   reference oracle calls, f64 emulated on f32/int32 — softfloat.py)
+    #   instead of the device transcendentals. Closes the last TPU pose-
+    #   drift ulp (EXACTNESS.md config-4 lidar tail). Scope is the ego
+    #   physics only: NPC fleets, SAT corners, and lidar ray trig measured
+    #   bit-exact on device with XLA trig (configs 1-3 100.0000% lidar over
+    #   2000 steps). Opt-in for exactness verification — ~10^4 flops per
+    #   trig call.
 
     # NOTE: the reference *Python wrapper* forces single-agent + no team reward
     # when traffic_flow is on (env.py:85-99); its C++ core supports multi-ego +
@@ -289,7 +298,8 @@ class IntersectionEnv:
         actions = jnp.asarray(actions, _F).reshape(n, 2)
         alive = ego.alive
         ph = car_physics_step(ego.x, ego.y, ego.v, ego.heading, ego.steering_angle,
-                              actions[:, 0], actions[:, 1], dt)
+                              actions[:, 0], actions[:, 1], dt,
+                              exact_trig=cfg.exact_trig)
         x = jnp.where(alive, ph.x, ego.x)
         y = jnp.where(alive, ph.y, ego.y)
         v = jnp.where(alive, ph.v, ego.v)

@@ -52,23 +52,27 @@ def mul_unfused(a, b):
     separately already (EXACTNESS.md device table), so the TPU hot path
     keeps the clean fused form.
 
-    The select is VALUE-PRESERVING: ``where(isnan(p), nan, p)`` returns p
-    bit-for-bit for every input (NaN and Inf propagate like the reference's
-    plain multiply) while still being data-dependent enough to block LLVM's
-    mul+add contraction. tests/test_physics.py pins the NaN/Inf propagation,
-    and the bitwise lockstep suite fails loudly if a compiler upgrade learns
-    to fold the select and resumes contracting.
+    The select is VALUE-PRESERVING — finite products pass through
+    bit-for-bit, ±Inf propagates exactly, NaN propagates (canonical
+    payload) — but it is NOT a foldable identity: the untaken branch
+    computes ``inf * sign(p)``, which LLVM cannot prove equal to p, so the
+    select survives optimization and the mul feeding the add keeps its own
+    rounding. (A plain ``where(isnan(p), nan, p)`` is a value identity and
+    LLVM folds it away, silently resuming contraction — caught by the
+    jit-vs-eager contraction canary in tests/test_physics.py, which fails
+    loudly if any future compiler learns to fold this form too.)
 
     Platform dispatch happens at LOWERING time (``lax.platform_dependent``),
     not trace time: code explicitly compiled for CPU from a TPU-attached
     process (``jit(..., backend='cpu')``) still gets the guard, and the TPU
-    lowering stays select-free (the guard would cost ~2 VPU ops per element
-    on the roofline-bound lidar sample grid).
+    lowering stays select-free (the guard would cost a few VPU ops per
+    element on the roofline-bound lidar sample grid).
     """
     p = a * b
 
     def _guarded(q):
-        return jnp.where(jnp.isnan(q), jnp.float32(jnp.nan), q)
+        return jnp.where(jnp.isfinite(q), q,
+                         jnp.float32(jnp.inf) * jnp.sign(q))
 
     return jax.lax.platform_dependent(p, cpu=_guarded, default=lambda q: q)
 
@@ -89,12 +93,26 @@ class CarPhysicsOut(NamedTuple):
     acc: jnp.ndarray
 
 
-def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt) -> CarPhysicsOut:
+def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt,
+                     exact_trig: bool = False) -> CarPhysicsOut:
     """One physics tick, matching Car::update exactly (cpp/Car.cpp:9-40).
 
     All inputs are float32 arrays of a common broadcast shape (typically (N,)).
+
+    exact_trig=True evaluates tan/cos/sin through ops/exact_trig.py — bit
+    replicas of the host libm the compiled reference calls — instead of the
+    device's transcendentals. This closes the last TPU-vs-oracle pose-drift
+    tail (EXACTNESS.md: the chip's trig is ~1 ulp off glibc's, which over
+    2000 steps flipped one config-4 lidar pixel). Opt-in: the emulated-f64
+    trig costs ~10^4 VPU flops per evaluation, fine for single-env
+    exactness verification, not for the 4096-env training path.
     """
     f32 = jnp.float32
+    if exact_trig:
+        from ..ops.exact_trig import cosf_exact, sinf_exact, tanf_exact
+        _sin, _cos, _tan = sinf_exact, cosf_exact, tanf_exact
+    else:
+        _sin, _cos, _tan = jnp.sin, jnp.cos, jnp.tan
     throttle = jnp.asarray(throttle, f32)
     steer = jnp.asarray(steer, f32)
     dt = jnp.asarray(dt, f32)
@@ -112,12 +130,12 @@ def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt) -> C
     v = v + mul_unfused(acc, dt)
     v = jnp.clip(v, f32(0.0), f32(PHYSICS_MAX_SPEED))
 
-    ang_vel = mul_unfused(v / f32(WHEELBASE), jnp.tan(steering_angle))
+    ang_vel = mul_unfused(v / f32(WHEELBASE), _tan(steering_angle))
     heading = jnp.where(jnp.abs(v) > f32(0.1), heading + ang_vel, heading)
     heading = wrap_angle(heading)
 
-    x = x + mul_unfused(v, jnp.cos(heading))
-    y = y - mul_unfused(v, jnp.sin(heading))
+    x = x + mul_unfused(v, _cos(heading))
+    y = y - mul_unfused(v, _sin(heading))
     return CarPhysicsOut(x, y, v, heading, steering_angle, acc)
 
 

@@ -66,6 +66,25 @@ def test_mul_unfused_value_preserving():
     np.testing.assert_array_equal(got.view(np.int32), (a * b).view(np.int32))
 
 
+def test_mul_unfused_blocks_contraction_under_jit():
+    """The contraction CANARY: under jit, ``c + mul_unfused(a, b)`` must
+    round the product and the sum separately — i.e. match numpy's two-step
+    f32 result on a batch large enough that LLVM's vectorizer would emit
+    FMAs if the guard were folded. A value-identity guard (e.g.
+    ``where(isnan(p), nan, p)``) gets folded by LLVM and FAILS this test;
+    the shipped guard's untaken branch computes a value LLVM cannot prove
+    equal, so the select survives and contraction stays blocked."""
+    rng = np.random.RandomState(11)
+    a = rng.uniform(-8, 8, 200_000).astype(np.float32)
+    b = rng.uniform(-1, 1, 200_000).astype(np.float32)
+    c = rng.uniform(-8, 8, 200_000).astype(np.float32)
+
+    f = jax.jit(lambda a, b, c: c + P.mul_unfused(a, b))
+    got = np.asarray(f(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)))
+    want = c + (a * b)  # numpy: separately-rounded mul then add (no FMA)
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
 def test_sat_basic():
     c = P.car_corners(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
     assert c.shape == (4, 2)
