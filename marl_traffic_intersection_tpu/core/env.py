@@ -135,11 +135,12 @@ class EnvConfig:
     #   sin through ops/exact_trig.py (bit replicas of the host libm the
     #   reference oracle calls, f64 emulated on f32/int32 — softfloat.py)
     #   instead of the device transcendentals. Closes the last TPU pose-
-    #   drift ulp (EXACTNESS.md config-4 lidar tail). Scope is the ego
-    #   physics only: NPC fleets, SAT corners, and lidar ray trig measured
-    #   bit-exact on device with XLA trig (configs 1-3 100.0000% lidar over
-    #   2000 steps). Opt-in for exactness verification — ~10^4 flops per
-    #   trig call.
+    #   drift ulp (EXACTNESS.md config-4 lidar tail). Scope: the ego pose
+    #   integrator (trig + the v/WHEELBASE division — TPU f32 divide is a
+    #   non-IEEE reciprocal refinement) and the lidar ray-direction /
+    #   obstacle-extent trig. NPC fleets and SAT corners stay on XLA trig
+    #   (measured bit-exact on device over 2000-step rollouts). Opt-in for
+    #   exactness verification — ~10^4 flops per trig call.
 
     # NOTE: the reference *Python wrapper* forces single-agent + no team reward
     # when traffic_flow is on (env.py:85-99); its C++ core supports multi-ego +
@@ -446,10 +447,12 @@ class IntersectionEnv:
             scan = make_lidar_batch(cfg.num_lanes)(x, y, heading, ox, oy, oh, om)
         elif impl == "interval":
             scan = jax.vmap(lambda a, b, c: lidar_scan_interval(
-                a, b, c, ox, oy, oh, om, cfg.num_lanes))(x, y, heading)
+                a, b, c, ox, oy, oh, om, cfg.num_lanes,
+                exact_trig=cfg.exact_trig))(x, y, heading)
         else:
-            scan = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om,
-                                                       cfg.num_lanes))(x, y, heading)
+            scan = jax.vmap(lambda a, b, c: lidar_scan(
+                a, b, c, ox, oy, oh, om, cfg.num_lanes,
+                exact_trig=cfg.exact_trig))(x, y, heading)
         lidar = jnp.where(alive[:, None], scan, state.lidar)
 
         new_state = EnvState(ego=new_ego, npc=npc, lidar=lidar,

@@ -73,10 +73,22 @@ _DISTS = (np.arange(LIDAR_SAMPLES, dtype=np.float32) * np.float32(LIDAR_STEP))  
 from .physics import mul_unfused as _mul_unfused
 
 
+def _trig_fns(exact: bool):
+    """(cos, sin) — exact=True uses the bit-replica libm trig
+    (ops/exact_trig.py): the chip's transcendentals differ from glibc's on
+    ~40% of inputs by a ulp, and a ray-direction ulp flips a sample's
+    int-cell truncation whenever a sample lands within ~1e-5 px of a cell
+    boundary (~once per 10M readings — the EXACTNESS.md config-4 tail)."""
+    if exact:
+        from ..ops.exact_trig import cosf_exact, sinf_exact
+        return cosf_exact, sinf_exact
+    return jnp.cos, jnp.sin
+
+
 def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask,
                num_lanes: int = 3, rays: int = LIDAR_RAYS,
                fov_deg: float = LIDAR_FOV_DEG, max_dist: float = LIDAR_MAX_DIST,
-               step_size: float = LIDAR_STEP):
+               step_size: float = LIDAR_STEP, exact_trig: bool = False):
     """Scan one car against a masked obstacle set.
 
     self_*: scalars (vmap over agents/envs outside); obs_*: (M,) obstacle car
@@ -97,8 +109,9 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
                             * np.float32(step_size))
 
     ray_angle = self_heading + rel                       # (R,)
-    dx = jnp.cos(ray_angle)
-    dy = -jnp.sin(ray_angle)                             # y-down screen coords (Lidar.cpp:27)
+    _cos, _sin = _trig_fns(exact_trig)
+    dx = _cos(ray_angle)
+    dy = -_sin(ray_angle)                                # y-down screen coords (Lidar.cpp:27)
 
     # Sample positions, truncated exactly like the C++ int() casts. The int
     # round-trip int(x) -> float(int) is a single float trunc (values are
@@ -126,8 +139,8 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     )
     active = obs_mask & not_self                          # (M,)
 
-    cosA = jnp.cos(obs_heading)
-    sinA = jnp.sin(obs_heading)
+    cosA = _cos(obs_heading)
+    sinA = _sin(obs_heading)
     hl = f32(CAR_LENGTH * 0.5)
     hw = f32(CAR_WIDTH * 0.5)
     ex = _mul_unfused(jnp.abs(cosA), hl) + _mul_unfused(jnp.abs(sinA), hw)  # (M,)
@@ -191,7 +204,8 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
                         rays: int = LIDAR_RAYS,
                         fov_deg: float = LIDAR_FOV_DEG,
                         max_dist: float = LIDAR_MAX_DIST,
-                        step_size: float = LIDAR_STEP):
+                        step_size: float = LIDAR_STEP,
+                        exact_trig: bool = False):
     """``lidar_scan`` with the obstacle tests lifted OUT of the sample grid.
 
     The truncated sample coordinate trunc(p0 + d·(step·k)) is weakly monotone
@@ -226,8 +240,9 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
         pow2 *= 2
 
     ray_angle = self_heading + rel                       # (R,)
-    dx = jnp.cos(ray_angle)
-    dy = -jnp.sin(ray_angle)
+    _cos, _sin = _trig_fns(exact_trig)
+    dx = _cos(ray_angle)
+    dy = -_sin(ray_angle)
 
     sx = self_x + _mul_unfused(dx[:, None], dists[None, :])  # (R, S)
     sy = self_y + _mul_unfused(dy[:, None], dists[None, :])
@@ -250,8 +265,8 @@ def lidar_scan_interval(self_x, self_y, self_heading, obs_x, obs_y,
         & (jnp.abs(obs_heading - self_heading) < eps)
     )
     active = obs_mask & not_self
-    cosA = jnp.cos(obs_heading)
-    sinA = jnp.sin(obs_heading)
+    cosA = _cos(obs_heading)
+    sinA = _sin(obs_heading)
     hl = f32(CAR_LENGTH * 0.5)
     hw = f32(CAR_WIDTH * 0.5)
     ex = _mul_unfused(jnp.abs(cosA), hl) + _mul_unfused(jnp.abs(sinA), hw)  # (M,)

@@ -109,10 +109,14 @@ def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt,
     """
     f32 = jnp.float32
     if exact_trig:
-        from ..ops.exact_trig import cosf_exact, sinf_exact, tanf_exact
+        from ..ops.exact_trig import (_div32, cosf_exact, sinf_exact,
+                                      tanf_exact)
         _sin, _cos, _tan = sinf_exact, cosf_exact, tanf_exact
+        _div = _div32   # TPU f32 division is a reciprocal refinement,
+        #                 not IEEE-rounded; the reference's divss is
     else:
         _sin, _cos, _tan = jnp.sin, jnp.cos, jnp.tan
+        _div = jnp.divide
     throttle = jnp.asarray(throttle, f32)
     steer = jnp.asarray(steer, f32)
     dt = jnp.asarray(dt, f32)
@@ -130,7 +134,7 @@ def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt,
     v = v + mul_unfused(acc, dt)
     v = jnp.clip(v, f32(0.0), f32(PHYSICS_MAX_SPEED))
 
-    ang_vel = mul_unfused(v / f32(WHEELBASE), _tan(steering_angle))
+    ang_vel = mul_unfused(_div(v, f32(WHEELBASE)), _tan(steering_angle))
     heading = jnp.where(jnp.abs(v) > f32(0.1), heading + ang_vel, heading)
     heading = wrap_angle(heading)
 
