@@ -133,6 +133,30 @@ class VectorEnv:
 
         return run(tiers, state)
 
+    def _observed(self, state: EnvState):
+        """Batched observe with the same NPC slot-prefix tiering as
+        ``_stepped``: the neighbor pool only reads alive slots, so when no
+        env has an alive NPC beyond the smallest tier the (B, N, n+M)
+        neighbor sweep runs on the sliced pool bitwise-identically
+        (profiling: observe was ~2.5 ms of the 6.5 ms B=4096 traffic step
+        — the largest stage left outside the cond)."""
+        obs_fn = jax.vmap(self.env.observe)
+        cfg = self.env.config
+        if not cfg.traffic_flow:
+            return obs_fn(state)
+        m = state.npc.alive.shape[1]
+        tier = (cfg.npc_tier if cfg.npc_tier > 0 else m // 4) \
+            if cfg.npc_tier != 0 else 0
+        if tier <= 0 or tier >= m:
+            return obs_fn(state)
+        too_big = jnp.any(state.npc.alive[:, tier:])
+        return jax.lax.cond(
+            too_big,
+            obs_fn,
+            lambda s: obs_fn(s._replace(npc=jax.tree.map(
+                lambda a: a[:, :tier] if a.ndim >= 2 else a, s.npc))),
+            state)
+
     def jit_step(self, dt=DT_DEFAULT, donate: bool = True):
         """Jitted per-call step for eager driving loops.
 
@@ -170,7 +194,7 @@ class VectorEnv:
             return jnp.where(mask, a, b)
 
         merged = jax.tree.map(pick, fresh_state, new_state)
-        obs = jax.vmap(self.env.observe)(merged)
+        obs = self._observed(merged)
         if final_obs:
             term_obs = jax.vmap(self.env.observe)(new_state)
             return merged, out._replace(obs=obs), term_obs
