@@ -196,6 +196,6 @@ class VectorEnv:
         merged = jax.tree.map(pick, fresh_state, new_state)
         obs = self._observed(merged)
         if final_obs:
-            term_obs = jax.vmap(self.env.observe)(new_state)
+            term_obs = self._observed(new_state)
             return merged, out._replace(obs=obs), term_obs
         return merged, out._replace(obs=obs)
