@@ -145,17 +145,30 @@ class VectorEnv:
         if not cfg.traffic_flow:
             return obs_fn(state)
         m = state.npc.alive.shape[1]
-        tier = (cfg.npc_tier if cfg.npc_tier > 0 else m // 4) \
-            if cfg.npc_tier != 0 else 0
-        if tier <= 0 or tier >= m:
-            return obs_fn(state)
-        too_big = jnp.any(state.npc.alive[:, tier:])
-        return jax.lax.cond(
-            too_big,
-            obs_fn,
-            lambda s: obs_fn(s._replace(npc=jax.tree.map(
-                lambda a: a[:, :tier] if a.ndim >= 2 else a, s.npc))),
-            state)
+        if cfg.npc_tier == 0:
+            tiers = []
+        elif cfg.npc_tier > 0:
+            tiers = [cfg.npc_tier]
+        else:  # auto: same nested ladder as _stepped
+            tiers = [m // 4, m // 2]
+        tiers = sorted({t for t in tiers if 0 < t < m})
+
+        def run(remaining, st):
+            if not remaining:
+                return obs_fn(st)
+            tier = remaining[0]
+            # observe never spawns, so (unlike _stepped) a full head prefix
+            # cannot push writes into the tail: alive-beyond-tier is the
+            # whole predicate
+            too_big = jnp.any(st.npc.alive[:, tier:])
+            return jax.lax.cond(
+                too_big,
+                lambda s: run(remaining[1:], s),
+                lambda s: obs_fn(s._replace(npc=jax.tree.map(
+                    lambda a: a[:, :tier] if a.ndim >= 2 else a, s.npc))),
+                st)
+
+        return run(tiers, state)
 
     def jit_step(self, dt=DT_DEFAULT, donate: bool = True):
         """Jitted per-call step for eager driving loops.
