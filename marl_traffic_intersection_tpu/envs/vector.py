@@ -20,15 +20,46 @@ from ..core.constants import DT_DEFAULT
 from ..core.env import EnvState, IntersectionEnv, StepOutput
 
 
+def _tiers(cfg, m: int):
+    """The NPC slot-prefix tier ladder shared by ``_stepped``/``_observed``.
+
+    npc_tier == 0 disables tiering, > 0 pins one tier, < 0 (auto) uses two
+    nested tiers [m//4, m//2] (at density 1.0 the steady state is ~2-4 alive
+    with a measured batch max of 6 over 1024 envs, so the m//4 = 8-slot
+    program runs nearly every tick). Tiers outside (0, m) are dropped.
+    """
+    if cfg.npc_tier == 0:
+        tiers = []
+    elif cfg.npc_tier > 0:
+        tiers = [cfg.npc_tier]
+    else:
+        tiers = [m // 4, m // 2]
+    return sorted({t for t in tiers if 0 < t < m})
+
+
 class VectorEnv:
     """vmap-batched IntersectionEnv.
 
     route_pool: int32 array of route ids egos are sampled from at (auto-)reset.
     Defaults to the reference's default ego-route mapping (utils.py:29-52).
+
+    mesh: optional ``jax.sharding.Mesh``. When given, ``step`` runs under
+    ``jax.shard_map`` with the env batch split over the mesh's data axes
+    (``('replica','data')`` on a hybrid mesh, else ``'data'``), which makes
+    the NPC slot-prefix tier decision SHARD-LOCAL: each device reduces the
+    tier predicate over its own batch shard and picks its own ``lax.cond``
+    branch, so the traffic-mode step stays collective-free under the mesh
+    (no per-step cross-device all-reduce, no globally synchronized cond —
+    one hot env on one device no longer forces every device to the
+    full-width program). Without a mesh the behavior is unchanged. Results
+    are bitwise identical either way: every tier branch is bitwise equal to
+    the full-width program (tests/test_npc_tier.py), so which branch each
+    device picks cannot affect the output.
     """
 
     def __init__(self, env: IntersectionEnv, num_envs: int,
-                 route_pool: Optional[np.ndarray] = None, auto_reset: bool = True):
+                 route_pool: Optional[np.ndarray] = None, auto_reset: bool = True,
+                 mesh=None):
         self.env = env
         self.num_envs = num_envs
         self.auto_reset = auto_reset
@@ -38,6 +69,20 @@ class VectorEnv:
                 default_ego_routes(max(env.config.num_agents, 12), env.config.num_lanes))
             route_pool = np.unique(pool)
         self.route_pool = jnp.asarray(route_pool, jnp.int32)
+        self.mesh = mesh
+        if mesh is not None:
+            axes = tuple(a for a in ("replica", "data") if a in mesh.axis_names)
+            assert axes, f"mesh has no replica/data axis: {mesh.axis_names}"
+            self._data_axes = axes
+            n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+            assert num_envs % n_shards == 0, (
+                f"num_envs={num_envs} must divide over {n_shards} data shards")
+
+    def with_mesh(self, mesh) -> "VectorEnv":
+        """A copy of this VectorEnv bound to ``mesh`` (see class docstring)."""
+        return VectorEnv(self.env, self.num_envs,
+                         route_pool=np.asarray(self.route_pool),
+                         auto_reset=self.auto_reset, mesh=mesh)
 
     # single-env reset (state only) with routes sampled from the pool.
     # Sampled WITHOUT replacement when the pool allows: duplicate routes mean
@@ -96,16 +141,7 @@ class VectorEnv:
         cfg = self.env.config
         if not cfg.traffic_flow:
             return step_fn(state, actions)
-        m = state.npc.alive.shape[1]
-        if cfg.npc_tier == 0:
-            tiers = []
-        elif cfg.npc_tier > 0:
-            tiers = [cfg.npc_tier]
-        else:  # auto: two nested tiers (at density 1.0 the steady state is
-            #    ~2-4 alive with a measured batch max of 6 over 1024 envs, so
-            #    the m//4 = 8-slot program runs nearly every tick)
-            tiers = [m // 4, m // 2]
-        tiers = sorted({t for t in tiers if 0 < t < m})
+        tiers = _tiers(cfg, state.npc.alive.shape[1])
 
         def run_sliced(st, tier):
             small = st._replace(npc=jax.tree.map(
@@ -144,14 +180,7 @@ class VectorEnv:
         cfg = self.env.config
         if not cfg.traffic_flow:
             return obs_fn(state)
-        m = state.npc.alive.shape[1]
-        if cfg.npc_tier == 0:
-            tiers = []
-        elif cfg.npc_tier > 0:
-            tiers = [cfg.npc_tier]
-        else:  # auto: same nested ladder as _stepped
-            tiers = [m // 4, m // 2]
-        tiers = sorted({t for t in tiers if 0 < t < m})
+        tiers = _tiers(cfg, state.npc.alive.shape[1])
 
         def run(remaining, st):
             if not remaining:
@@ -190,7 +219,20 @@ class VectorEnv:
         stepped (pre-reset) state as a third value — the gymnasium SAME_STEP
         autoreset contract needs it for truncation bootstrapping. Costs one
         extra observe over the batch; the default path stays single-observe.
+
+        With a bound mesh the whole body runs under ``jax.shard_map`` over
+        the data axes (every input/output leaf is per-env with a leading
+        batch dim), so the tier conds reduce over the local shard only.
         """
+        if self.mesh is None:
+            return self._step_body(state, actions, dt, final_obs)
+        from jax.sharding import PartitionSpec as P
+        spec = P(self._data_axes)
+        body = lambda st, acts: self._step_body(st, acts, dt, final_obs)
+        return jax.shard_map(body, mesh=self.mesh, in_specs=(spec, spec),
+                             out_specs=spec)(state, actions)
+
+    def _step_body(self, state: EnvState, actions, dt, final_obs: bool):
         if not self.auto_reset:
             return self._stepped(state, actions, dt, with_obs=True)
 

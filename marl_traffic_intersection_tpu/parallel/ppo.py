@@ -214,6 +214,11 @@ class PPOLearner:
             return jax.jit(self.train_step)
         from .mesh import (data_sharding, hybrid_data_sharding,
                            param_shardings, replicate)
+        # bind the mesh into the venv so the rollout's NPC tier conds are
+        # shard-local (traffic mode stays collective-free under the mesh —
+        # envs/vector.py VectorEnv docstring); no-op re-bind if already bound
+        if self.env.mesh is not mesh:
+            self.env = self.env.with_mesh(mesh)
 
         def fn(ts, env_state, obs, key):
             return self.train_step(ts, env_state, obs, key)

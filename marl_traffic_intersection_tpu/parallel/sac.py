@@ -275,6 +275,9 @@ class SACLearner:
             return jax.jit(self.train_step, donate_argnums=(0, 1))
         from .mesh import (data_sharding, hybrid_data_sharding,
                            param_shardings, replicate)
+        # shard-local NPC tier conds in the rollout (see PPOLearner)
+        if self.env.mesh is not mesh:
+            self.env = self.env.with_mesh(mesh)
 
         def fn(ts, env_state, obs, key):
             return self.train_step(ts, env_state, obs, key)

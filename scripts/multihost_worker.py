@@ -19,6 +19,9 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def main(num_procs: int, proc_id: int, port: int):
@@ -39,21 +42,34 @@ def main(num_procs: int, proc_id: int, port: int):
     from marl_traffic_intersection_tpu.parallel.ppo import PPOConfig, PPOLearner
 
     mesh = make_mesh(n_data=n_global, n_model=1)
-    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=32))
-    venv = VectorEnv(env, num_envs=2 * n_global)
-    learner = PPOLearner(venv, ActorCriticMLP(hidden=(64, 64)),
-                         PPOConfig(rollout_len=4, num_minibatches=2,
-                                   update_epochs=1))
-    ts = learner.init(jax.random.PRNGKey(0))
-    state, obs = venv.reset(jax.random.PRNGKey(1))
 
-    step, shard_ts, shard_env = learner.jit_train_step(mesh, "mlp")
-    ts = shard_ts(ts)
-    state, obs = shard_env(state, obs)
-    ts, state, obs, key, metrics = step(ts, state, obs, jax.random.PRNGKey(2))
-    pg = float(metrics["pg_loss"])
-    assert pg == pg, "nan pg_loss"  # finite check
+    def one_case(tag: str, env_cfg: EnvConfig):
+        env = IntersectionEnv(env_cfg)
+        venv = VectorEnv(env, num_envs=2 * n_global)
+        learner = PPOLearner(venv, ActorCriticMLP(hidden=(64, 64)),
+                             PPOConfig(rollout_len=4, num_minibatches=2,
+                                       update_epochs=1))
+        ts = learner.init(jax.random.PRNGKey(0))
+        state, obs = venv.reset(jax.random.PRNGKey(1))
+
+        step, shard_ts, shard_env = learner.jit_train_step(mesh, "mlp")
+        ts = shard_ts(ts)
+        state, obs = shard_env(state, obs)
+        ts, state, obs, key, metrics = step(ts, state, obs,
+                                            jax.random.PRNGKey(2))
+        pg = float(metrics["pg_loss"])
+        assert pg == pg, f"nan pg_loss ({tag})"  # finite check
+        return pg
+
+    pg = one_case("no-traffic", EnvConfig(num_agents=2, max_steps=32))
+    # traffic-mode rollout across process boundaries: the shard-mapped env
+    # step's tier conds are per-device (envs/vector.py), so the only
+    # cross-process collectives stay the gradient psum family
+    pg_tr = one_case("traffic", EnvConfig(num_agents=2, max_steps=32,
+                                          traffic_flow=True,
+                                          traffic_density=1.0, max_npcs=8))
     print(f"proc {proc_id}: OK pg_loss={pg:.6f}", flush=True)
+    print(f"proc {proc_id}: OK traffic_pg_loss={pg_tr:.6f}", flush=True)
 
 
 if __name__ == "__main__":

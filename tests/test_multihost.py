@@ -44,10 +44,12 @@ def _run_procs(num_procs: int):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i}: OK" in out, out[-2000:]
-    # every process must agree on the synchronized loss bitwise
-    losses = [[l for l in o.splitlines() if "OK pg_loss" in l][0].split("=")[-1]
-              for o in outs]
-    assert len(set(losses)) == 1, losses
+    # every process must agree on the synchronized losses bitwise — both the
+    # no-traffic and the traffic-mode (shard-mapped tier conds) train steps
+    for tag in ("OK pg_loss", "OK traffic_pg_loss"):
+        losses = [[l for l in o.splitlines() if tag in l][0].split("=")[-1]
+                  for o in outs]
+        assert len(set(losses)) == 1, (tag, losses)
 
 
 @pytest.mark.slow

@@ -71,3 +71,36 @@ def test_tiered_step_fast_mode_bitwise():
     tiered = _run(dict(kw, npc_tier=-1), num_envs=6, steps=100, seed=5)
     full = _run(dict(kw, npc_tier=0), num_envs=6, steps=100, seed=5)
     _assert_bitwise(tiered, full)
+
+
+def _run_final_obs(npc_tier, num_envs, steps, seed):
+    """Traffic-on trajectory through step(final_obs=True): the gymnasium
+    SAME_STEP terminal-obs path routes through the tiered _observed on the
+    PRE-reset state — its tier cond is otherwise unexercised."""
+    env = IntersectionEnv(EnvConfig(num_agents=2, traffic_flow=True,
+                                    traffic_density=4.0, max_npcs=12,
+                                    max_steps=40, npc_tier=npc_tier))
+    venv = VectorEnv(env, num_envs=num_envs, auto_reset=True)
+    state, _ = jax.jit(venv.reset)(jax.random.PRNGKey(seed))
+    step = jax.jit(lambda s, a: venv.step(s, a, final_obs=True))
+    rng = np.random.RandomState(seed + 1)
+    traj = []
+    for _ in range(steps):
+        acts = jnp.asarray(rng.uniform(-1, 1, (num_envs, 2, 2)), jnp.float32)
+        state, out, term_obs = step(state, acts)
+        traj.append((jax.tree.map(np.asarray, out), np.asarray(term_obs)))
+    return traj
+
+
+def test_tiered_final_obs_bitwise():
+    """term_obs (final_obs=True) is bitwise equal between tiered and
+    untiered programs across episode boundaries (max_steps=40 forces
+    truncation resets, so the terminal observe really runs on states that
+    differ from the merged post-reset state)."""
+    tiered = _run_final_obs(-1, num_envs=6, steps=90, seed=7)
+    full = _run_final_obs(0, num_envs=6, steps=90, seed=7)
+    for t, ((oa, ta), (ob, tb)) in enumerate(zip(tiered, full)):
+        assert np.array_equal(ta, tb), ("term_obs", t)
+        la = jax.tree.leaves(oa)
+        for x, y in zip(la, jax.tree.leaves(ob)):
+            assert np.array_equal(x, y, equal_nan=True), ("out", t)

@@ -30,10 +30,12 @@ ENVS_PER_DEVICE = 16
 AGENTS = 2
 
 
-def _env_step_compiled(n_dev):
+def _env_step_compiled(n_dev, traffic: bool = False):
     mesh = make_mesh(n_data=n_dev, n_model=1, devices=jax.devices()[:n_dev])
-    env = IntersectionEnv(EnvConfig(num_agents=AGENTS, max_steps=10 ** 9))
-    venv = VectorEnv(env, num_envs=ENVS_PER_DEVICE * n_dev, auto_reset=True)
+    env = IntersectionEnv(EnvConfig(num_agents=AGENTS, max_steps=10 ** 9,
+                                    traffic_flow=traffic, traffic_density=1.0))
+    venv = VectorEnv(env, num_envs=ENVS_PER_DEVICE * n_dev, auto_reset=True,
+                     mesh=mesh if traffic else None)
     state, _ = jax.jit(venv.reset)(jax.random.PRNGKey(0))
     state = shard_batch_tree(mesh, state)
     acts = jax.device_put(jnp.zeros((ENVS_PER_DEVICE * n_dev, AGENTS, 2)),
@@ -64,6 +66,30 @@ def test_env_step_per_device_cost_invariant_and_collective_free():
     # per-device cost invariant to the mesh size (weak scaling by
     # construction): FLOPs (compute roofline) AND bytes accessed (HBM
     # bandwidth roofline — the binding one for the env step, PERF.md)
+    assert flops[4] == pytest.approx(flops[1], rel=0.05)
+    assert flops[8] == pytest.approx(flops[1], rel=0.05)
+    assert nbytes[1] > 0.0
+    assert nbytes[4] == pytest.approx(nbytes[1], rel=0.05)
+    assert nbytes[8] == pytest.approx(nbytes[1], rel=0.05)
+
+
+@pytest.mark.slow
+def test_traffic_env_step_per_device_cost_invariant_and_collective_free():
+    """TRAFFIC-mode variant (VERDICT r3 task 1): with the mesh-bound
+    VectorEnv the step runs under shard_map, so the NPC slot-prefix tier
+    predicate reduces over the LOCAL batch shard and each device picks its
+    own lax.cond branch — no per-step cross-device all-reduce, no globally
+    synchronized cond. The compiled program must contain ZERO collectives
+    and its per-device cost must be mesh-size-invariant."""
+    flops, nbytes = {}, {}
+    for n in (1, 4, 8):
+        compiled = _env_step_compiled(n, traffic=True)
+        txt = compiled.as_text()
+        for op in ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all"):
+            assert op not in txt, f"unexpected collective {op} at mesh size {n}"
+        flops[n] = _cost(compiled)
+        nbytes[n] = _bytes(compiled)
     assert flops[4] == pytest.approx(flops[1], rel=0.05)
     assert flops[8] == pytest.approx(flops[1], rel=0.05)
     assert nbytes[1] > 0.0
