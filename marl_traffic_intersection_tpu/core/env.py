@@ -141,6 +141,17 @@ class EnvConfig:
     #   obstacle-extent trig. NPC fleets and SAT corners stay on XLA trig
     #   (measured bit-exact on device over 2000-step rollouts). Opt-in for
     #   exactness verification — ~10^4 flops per trig call.
+    exact_obs: bool = False  # bit-exact REWARD and OBSERVATION float
+    #   streams (VERDICT r3 task 2 — the (N,127) obs vector IS the contract,
+    #   SURVEY §2). Routes the reward helpers' hypotf and the obs builder's
+    #   atan2f/sqrtf through ops/exact_libm.py (replicas of the host libm
+    #   the oracle links), pins every non-power-of-2 division with
+    #   exact_trig._div32 (TPU divide is a non-IEEE refinement), guards the
+    #   squared-sum adds against LLVM FMA contraction (physics.mul_unfused),
+    #   and runs the team-reward average as the reference's ORDERED scalar
+    #   accumulation (IntersectionEnv.cpp:330-333) instead of jnp.sum.
+    #   Opt-in verification mode like exact_trig; combine both for a fully
+    #   bit-exact step-output bitstream vs the C++ oracle (EXACTNESS.md).
 
     # NOTE: the reference *Python wrapper* forces single-agent + no team reward
     # when traffic_flow is on (env.py:85-99); its C++ core supports multi-ego +
@@ -314,18 +325,40 @@ class IntersectionEnv:
 
         aux = gather_rows_matmul(jnp.asarray(self._aux), ego.route_id)  # (N, 8)
         goal = aux[:, 0:2]                                # (N, 2)
-        cur_dist = jnp.hypot(x - goal[:, 0], y - goal[:, 1])
+        # max_progress = hypotf(750, 750) evaluated host-side with the same
+        # libm the oracle links (IntersectionEnv.cpp:22)
         max_prog = np.float32(np.hypot(np.float32(WIDTH), np.float32(HEIGHT)))
-        r_prog = jnp.where(ego.prev_dist_to_goal > _F(0.0),
-                           rw.k_prog * ((ego.prev_dist_to_goal - cur_dist) / max_prog),
-                           _F(0.0))
-        speed_ms = (v * _F(FPS)) / _F(SCALE)
+        if cfg.exact_obs:
+            # bit replicas of the oracle's reward float chain (EnvConfig)
+            from ..core.physics import mul_unfused as _mu
+            from ..ops.exact_libm import hypotf_exact
+            from ..ops.exact_trig import _div32
+            cur_dist = hypotf_exact(x - goal[:, 0], y - goal[:, 1])
+            r_prog = jnp.where(
+                ego.prev_dist_to_goal > _F(0.0),
+                rw.k_prog * _div32(ego.prev_dist_to_goal - cur_dist, max_prog),
+                _F(0.0))
+            speed_ms = _div32(_mu(v, _F(FPS)), _F(SCALE))
+            acc_norm = _div32(acc, _F(MAX_ACC))
+            steer_norm = _div32(steering, _F(MAX_STEERING_ANGLE))
+            d0 = acc_norm - ego.prev_acc_norm
+            d1 = steer_norm - ego.prev_steer_norm
+            # the k_sm product feeds the base-reward sum — guard it too, or
+            # LLVM contracts k_sm*diff2 into the (r_prog+r_stuck)+r_smooth add
+            r_smooth = _mu(rw.k_sm, _mu(d0, d0) + _mu(d1, d1))
+        else:
+            cur_dist = jnp.hypot(x - goal[:, 0], y - goal[:, 1])
+            r_prog = jnp.where(
+                ego.prev_dist_to_goal > _F(0.0),
+                rw.k_prog * ((ego.prev_dist_to_goal - cur_dist) / max_prog),
+                _F(0.0))
+            speed_ms = (v * _F(FPS)) / _F(SCALE)
+            acc_norm = acc / _F(MAX_ACC)
+            steer_norm = steering / _F(MAX_STEERING_ANGLE)
+            d0 = acc_norm - ego.prev_acc_norm
+            d1 = steer_norm - ego.prev_steer_norm
+            r_smooth = rw.k_sm * (d0 * d0 + d1 * d1)
         r_stuck = jnp.where(speed_ms < rw.v_min_ms, rw.k_stuck, _F(0.0))
-        acc_norm = acc / _F(MAX_ACC)
-        steer_norm = steering / _F(MAX_STEERING_ANGLE)
-        d0 = acc_norm - ego.prev_acc_norm
-        d1 = steer_norm - ego.prev_steer_norm
-        r_smooth = rw.k_sm * (d0 * d0 + d1 * d1)
         rewards = jnp.where(alive, r_prog + r_stuck + r_smooth, _F(0.0))
 
         prev_dist = jnp.where(alive, cur_dist, ego.prev_dist_to_goal)
@@ -395,8 +428,20 @@ class IntersectionEnv:
         rewards = rewards + jnp.where(done & is_crash_obj, rw.k_co, _F(0.0))
         rewards = rewards + jnp.where(done & is_success, rw.k_succ, _F(0.0))
         if cfg.use_team_reward and n > 0:
-            avg = jnp.sum(rewards) / _F(n)  # mean over all n incl. dead (cpp:330-333)
-            rewards = (_F(1.0) - rw.alpha) * rewards + rw.alpha * avg
+            if cfg.exact_obs:
+                # the reference accumulates the average as an ORDERED scalar
+                # chain (cpp:330-332) — replicate the rounding order; pin the
+                # division and both mix products (FMA contraction on CPU)
+                from ..core.physics import mul_unfused as _mu
+                from ..ops.exact_trig import _div32
+                total = rewards[0]
+                for i in range(1, n):
+                    total = total + rewards[i]
+                avg = _div32(total, _F(n))
+                rewards = _mu(_F(1.0) - rw.alpha, rewards) + _mu(rw.alpha, avg)
+            else:
+                avg = jnp.sum(rewards) / _F(n)  # mean incl. dead (cpp:330-333)
+                rewards = (_F(1.0) - rw.alpha) * rewards + rw.alpha * avg
 
         # --- 6) respawn / terminated-on-done (IntersectionEnv.cpp:339-351)
         terminated = jnp.asarray(False)
@@ -404,6 +449,20 @@ class IntersectionEnv:
             crash = alive & done & (is_crash_car | is_crash_obj)
             sp_xy = aux[:, 4:6]
             sp_h = aux[:, 6]
+            if cfg.exact_obs:
+                # the one-hot MATMUL row fetch sums 1*(-0.0) + 0*... = +0.0,
+                # losing the NEGATIVE ZERO east-bound spawn headings carry
+                # (atan2f(-0.0, dx) = -0.0 — IntersectionEnv.cpp:91); the
+                # respawn-tick obs[3] = heading/pi must read -0.0. Refetch
+                # the heading through its int32 BIT pattern (integer
+                # masked-sum is sign-bit-exact).
+                hb_table = jnp.asarray(
+                    np.ascontiguousarray(self._spawn_heading).view(np.int32))
+                onehot_r = (jnp.arange(hb_table.shape[0], dtype=jnp.int32)
+                            == ego.route_id[:, None])
+                h_bits = jnp.sum(jnp.where(onehot_r, hb_table[None, :], 0),
+                                 axis=-1, dtype=jnp.int32)
+                sp_h = jax.lax.bitcast_convert_type(h_bits, _F)
             x = jnp.where(crash, sp_xy[:, 0], x)
             y = jnp.where(crash, sp_xy[:, 1], y)
             v = jnp.where(crash, _F(0.0), v)
@@ -483,8 +542,23 @@ class IntersectionEnv:
 
         x, y, v, heading = ego.x, ego.y, ego.v, ego.heading
 
+        if cfg.exact_obs:
+            # bit replicas of the oracle's obs float chain (EnvConfig):
+            # libm atan2f/sqrtf replicas, pinned divisions, unfused squares
+            from ..core.physics import mul_unfused as _mu
+            from ..ops.exact_libm import atan2f_exact, sqrtf_exact
+            from ..ops.exact_trig import _div32
+            div = _div32
+            sq2 = lambda a, b: sqrtf_exact(_mu(a, a) + _mu(b, b))
+            at2 = atan2f_exact
+        else:
+            div = lambda a, b: a / b
+            sq2 = lambda a, b: jnp.sqrt(a * a + b * b)
+            at2 = jnp.arctan2
+
         o_base = jnp.stack([
-            x / _F(WIDTH), y / _F(HEIGHT), v / _F(PHYSICS_MAX_SPEED), heading / _PI32,
+            div(x, _F(WIDTH)), div(y, _F(HEIGHT)),
+            div(v, _F(PHYSICS_MAX_SPEED)), div(heading, _PI32),
         ], axis=-1)
 
         tgt_idx = jnp.minimum(ego.path_index + 10, PATH_LEN - 1)
@@ -495,8 +569,8 @@ class IntersectionEnv:
         ty = jnp.sum(jnp.where(onehot, ego_paths[..., 1], _F(0.0)), axis=-1)
         dxd = tx - x
         dyd = ty - y
-        d_dst = jnp.sqrt(dxd * dxd + dyd * dyd) / _F(WIDTH)
-        theta_err = wrap_angle(jnp.arctan2(-dyd, dxd) - heading) / _PI32
+        d_dst = div(sq2(dxd, dyd), _F(WIDTH))
+        theta_err = div(wrap_angle(at2(-dyd, dxd) - heading), _PI32)
         o_target = jnp.stack([d_dst, theta_err], axis=-1)
 
         # Neighbor pool: other egos (+ NPCs in traffic mode)
@@ -525,7 +599,7 @@ class IntersectionEnv:
 
         dx = kx[None, :] - x[:, None]                       # (N, K)
         dy = ky[None, :] - y[:, None]
-        dist = jnp.sqrt(dx * dx + dy * dy)
+        dist = sq2(dx, dy)
         not_self = jnp.arange(k_tot)[None, :] != jnp.arange(n)[:, None]
         nmask = kmask[None, :] & not_self
 
@@ -551,16 +625,24 @@ class IntersectionEnv:
             pick = lambda a: jnp.sum(ohf * a[None, :], axis=-1)   # (N,)
             valid = jnp.any(oh, axis=-1)
             feat = jnp.stack([
-                (pick(kx) - x) / _F(WIDTH),
-                (pick(ky) - y) / _F(HEIGHT),
-                (pick(kv) - v) / _F(PHYSICS_MAX_SPEED),
-                wrap_angle(pick(kh) - heading) / _PI32,
+                div(pick(kx) - x, _F(WIDTH)),
+                div(pick(ky) - y, _F(HEIGHT)),
+                div(pick(kv) - v, _F(PHYSICS_MAX_SPEED)),
+                div(wrap_angle(pick(kh) - heading), _PI32),
                 pick(kint),
             ], axis=-1)                                     # (N, 5)
             rows.append(jnp.where(valid[:, None], feat, _F(0.0)))
         nfeat = jnp.stack(rows, axis=-2).reshape(n, 5 * NEIGHBOR_COUNT)
 
-        o_lidar = state.lidar / _F(LIDAR_MAX_DIST)
+        # the reference normalizes by a PRECOMPUTED RECIPROCAL, not a
+        # division (Lidar.cpp:95-97: d * (1.0f / max_dist)) — in exact mode
+        # replicate that product; the default path's /250 happens to lower
+        # to the same reciprocal multiply under XLA's strength reduction
+        if cfg.exact_obs:
+            inv = np.float32(1.0) / np.float32(LIDAR_MAX_DIST)
+            o_lidar = _mu(state.lidar, _F(inv))
+        else:
+            o_lidar = state.lidar / _F(LIDAR_MAX_DIST)
 
         obs = jnp.concatenate([o_base, o_target, nfeat, o_lidar], axis=-1)
         assert obs.shape == (n, OBS_DIM)

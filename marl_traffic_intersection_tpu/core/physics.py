@@ -121,10 +121,20 @@ def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt,
     steer = jnp.asarray(steer, f32)
     dt = jnp.asarray(dt, f32)
 
-    acc = throttle * f32(MAX_ACC)
-    target_steering = steer * f32(MAX_STEERING_ANGLE)
-    # mul_unfused on every a*b feeding an add: pins the reference's separate
-    # product rounding on CPU (g++ baseline ISA emits no FMA; see docstring)
+    # barrier: with both MAX_ACC and dt compile-time constants, XLA algsimp
+    # merges (throttle*15)*dt into one multiply by 0.25 whenever acc is
+    # single-use — the NPC path discards out.acc, so its v update silently
+    # lost the reference's separate acc rounding (found by the NPC-v
+    # bitstream diff; the EGO path was safe only because acc also feeds the
+    # smooth reward). The barrier pins the intermediate on every path.
+    acc = jax.lax.optimization_barrier(throttle * f32(MAX_ACC))
+    # mul_unfused on every a*b feeding an add OR sub: pins the reference's
+    # separate product rounding on CPU (g++ baseline ISA emits no FMA; see
+    # docstring). The target_steering product feeds the lag subtraction —
+    # unguarded, LLVM contracts `steer*MAX - steering` into one fma and the
+    # steering chain (trig-free, so otherwise bit-reproducible) drifts by
+    # ulps, which the smooth reward term surfaces (EXACTNESS.md).
+    target_steering = mul_unfused(steer, f32(MAX_STEERING_ANGLE))
     steering_angle = steering_angle + mul_unfused(
         target_steering - steering_angle, f32(0.2))
 

@@ -67,6 +67,10 @@ class GymIntersectionEnv:
             respawn_enabled=bool(config.get("respawn_enabled", True)),
             max_steps=int(config.get("max_steps", 2000)),
             max_npcs=int(config.get("max_npcs", 32)),
+            # opt-in bit-exactness modes (EXACTNESS.md): libm-replica trig
+            # for the pose/lidar chain, and the bit-exact reward/obs stream
+            exact_trig=bool(config.get("exact_trig", False)),
+            exact_obs=bool(config.get("exact_obs", False)),
         )
         # backend: 'jax' (device engine) or 'native' (C++ host engine —
         # microsecond per-step latency, like the reference's cpp_backend)
@@ -95,6 +99,14 @@ class GymIntersectionEnv:
         self._jit_step = jax.jit(self._core.step)
         self._state = None
         self._renderer = None
+
+        # GLFW-style event surface: the reference harness reaches through
+        # the wrapper for input polling (`env.env.poll_events()` /
+        # `.key_pressed(k)` / `.window_should_close()` — test.py:110-145,
+        # cpp/bindings.cpp:80-82). Backed by matplotlib key events when the
+        # renderer window attaches it, by injection when headless.
+        from .events import EventSurface
+        self.env = EventSurface()
 
         self.reset()
 

@@ -130,7 +130,7 @@ def _medium_sincos(y, want_sin):
     return jnp.where(sin_parity, sin_res, cos_res)
 
 
-def sinf_exact(y):
+def sinf_emulated(y):
     y = jnp.asarray(y, _F)
     top = _abstop12(y)
     xd = d_from_f32(y)
@@ -147,7 +147,7 @@ def sinf_exact(y):
     return jnp.where(top <= 0x42E, out, jnp.sin(y))  # >=120: out of domain
 
 
-def cosf_exact(y):
+def cosf_emulated(y):
     y = jnp.asarray(y, _F)
     top = _abstop12(y)
     xd = d_from_f32(y)
@@ -275,7 +275,7 @@ def _kernel_tandf(x, y, iy):
     return jnp.where(tiny, tiny_res, res)
 
 
-def tanf_exact(y):
+def tanf_emulated(y):
     y = jnp.asarray(y, _F)
     b = _bits(y)
     ix = b & 0x7FFFFFFF
@@ -294,3 +294,44 @@ def tanf_exact(y):
     small = _kernel_tandf(y, jnp.zeros_like(y), jnp.ones(jnp.shape(y), _I))
     out = jnp.where(ix <= 0x3F490FDA, small, med)
     return jnp.where(top <= 0x42E, out, jnp.tan(y))
+
+
+# ---------------------------------------------------------- platform split
+#
+# The *_exact entry points (used by physics/lidar when EnvConfig.exact_trig
+# is on) resolve per PLATFORM at lowering time:
+#   * TPU (default): the emulated-f64 replicas above — the device has no
+#     other way to produce the host libm's bit patterns.
+#   * CPU: a jax.pure_callback into the host libm itself (ops/libm_host.py,
+#     vectorized C shim). Bit-equal by construction — it IS the library the
+#     oracle links — and it sidesteps XLA:CPU's quadratic lazy-codegen
+#     cliff on the inlined multi-k-op emulation graphs (ops/softfloat.py).
+# The emulated implementations remain directly importable (*_emulated) for
+# scripts/verify_exact_trig.py and tests, which verify them ON CPU against
+# the same libm the CPU path calls.
+
+def _host_call(np_fn, y):
+    return jax.pure_callback(
+        np_fn, jax.ShapeDtypeStruct(jnp.shape(y), jnp.float32), y,
+        vmap_method="broadcast_all")
+
+
+def sinf_exact(y):
+    y = jnp.asarray(y, _F)
+    from .libm_host import sinf_np
+    return jax.lax.platform_dependent(
+        y, cpu=lambda v: _host_call(sinf_np, v), default=sinf_emulated)
+
+
+def cosf_exact(y):
+    y = jnp.asarray(y, _F)
+    from .libm_host import cosf_np
+    return jax.lax.platform_dependent(
+        y, cpu=lambda v: _host_call(cosf_np, v), default=cosf_emulated)
+
+
+def tanf_exact(y):
+    y = jnp.asarray(y, _F)
+    from .libm_host import tanf_np
+    return jax.lax.platform_dependent(
+        y, cpu=lambda v: _host_call(tanf_np, v), default=tanf_emulated)

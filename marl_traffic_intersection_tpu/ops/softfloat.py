@@ -381,6 +381,119 @@ def d_to_f32(a):
 
 
 @jax.jit
+def d_sqrt(a):
+    """Correctly-rounded (RN53) f64 square root of a non-negative emulated
+    double — the one op glibc's hypotf adds on top of mul/add
+    (``(float) sqrt ((double) x * x + (double) y * y)``, verified
+    bit-identical to this host's libm over 20M samples — ops/exact_libm.py).
+
+    Method: scale into an even-exponent frame m = V * 2^-T (T even, head in
+    [1, 4)); two Newton refinements from the f32 ``jnp.sqrt`` seed using
+    error-free transforms (error < 2^-60); round to 53 bits; then CORRECT
+    against the exact neighbor midpoints — compare m to (r ± 2^-53·2^e)^2
+    with exact expansion arithmetic and adjust by one ulp when the rounded
+    candidate sits on the wrong side (ties: to even significand). The
+    correction step makes the result independent of the seed's accuracy.
+
+    Domain: V == 0 or 2^-250 <= V < 2^250 (positions/distances in the env
+    are O(10^3); nothing near the edges). Negative input is undefined.
+    """
+    zero = a[0] == _F(0.0)
+    e0 = jnp.where(zero, _I(0), _exponent(a[0]))
+    T = jnp.asarray(a[3], _I) + e0          # value = m0 * 2^T, m0 in [1, 2)
+    odd = T & 1                              # make the exponent even
+    m = _scale2([a[0], a[1], a[2]], -e0 + odd)   # head in [1, 4)
+    half_e = (T - odd) >> 1                  # result exponent
+
+    mh = (m[0] + m[1]) + m[2]
+    y0 = jnp.sqrt(jnp.maximum(mh, _F(0.0)))             # ~24 bits
+    y0 = jnp.where(zero, _F(1.0), y0)        # keep divisions finite
+
+    # (fusion breaks between stages for the same reason as _combine's:
+    # one fused mega-kernel compiles/executes pathologically on XLA:CPU)
+    # Newton 1: r = y0 + (m - y0^2) / (2 y0)   (~47 bits)
+    p, pe = two_prod(y0, y0)
+    d = renorm([m[0], m[1], m[2], -p, -pe], out_n=3)
+    q1 = ((d[0] + d[1]) + d[2]) / (y0 + y0)
+    rh, rl = two_sum(y0, q1)
+    rh, rl, m = jax.lax.optimization_barrier((rh, rl, tuple(m)))
+    m = list(m)
+
+    # Newton 2 on the pair (rh, rl)            (~70 bits)
+    p0, p0e = two_prod(rh, rh)
+    p1, p1e = two_prod(rh, rl + rl)
+    p2, p2e = two_prod(rl, rl)
+    d = renorm([m[0], m[1], m[2], -p0, -p0e, -p1, -p1e, -p2, -p2e], out_n=3)
+    q2 = ((d[0] + d[1]) + d[2]) / (rh + rh)
+    r = round_to_prec([rh, rl, q2], 53)      # candidate, exact 3-expansion
+    r, m = jax.lax.optimization_barrier((tuple(r), tuple(m)))
+    r, m = list(r), list(m)
+
+    # Exact correction vs the two neighbor midpoints mid± = r ± h,
+    # h = 2^(e_r - 53) (half-ulp of the 53-bit grid):
+    #   m - mid±^2 = (m - r^2) ∓ 2rh - h^2
+    # D = m - r^2 is computed ONCE and shared; h is a power of two, so the
+    # 2·r_i·h products and h^2 are exact single f32s (no two_prod error
+    # terms). This keeps the whole correction ~3x smaller than squaring
+    # each 4-component midpoint separately — XLA:CPU splits a jit body
+    # into a handful of fusions regardless of barriers, and a fusion past
+    # ~2k elementwise ops hits the quadratic lazy-codegen cliff the module
+    # docstring describes.
+    e_r = jnp.where(r[0] == 0, _I(0), _exponent(r[0]))
+    h = _pow2(e_r - 53)
+
+    comps = list(m)
+    for i in range(3):
+        for j in range(i, 3):
+            pp, ee = two_prod(r[i], r[j])
+            if j > i:
+                pp, ee = pp + pp, ee + ee        # doubling is exact
+            comps.extend([-pp, -ee])
+    D = renorm(comps, out_n=6)                   # exact m - r^2
+    D, r, m, h = jax.lax.optimization_barrier(
+        (tuple(D), tuple(r), tuple(m), h))
+    D, r, m = list(D), list(r), list(m)
+
+    cross = [(r[0] * h) * _F(2.0), (r[1] * h) * _F(2.0),
+             (r[2] * h) * _F(2.0), h * h]        # all exact (h = 2^k)
+
+    def _lead_sign(comps):
+        d = renorm(comps, out_n=6)
+        lead = d[0]
+        for c in d[1:]:
+            lead = jnp.where(lead != 0, lead, c)
+        return lead
+
+    lead_hi = _lead_sign(D + [-c for c in cross[:3]] + [-cross[3]])
+    lead_lo = _lead_sign(D + cross[:3] + [-cross[3]])
+    lead_hi, lead_lo, r, h = jax.lax.optimization_barrier(
+        (lead_hi, lead_lo, tuple(r), h))
+    r = list(r)
+
+    # parity of the 53-bit significand (for exact ties)
+    s52 = _scale2([r[0], r[1], r[2]], 52 - e_r)
+    par = _I(0)
+    for c in s52:
+        big = jnp.abs(c) >= _F(2 ** 24)      # grid >= 2: even
+        par = par ^ jnp.where(big, _I(0), jnp.abs(c).astype(_I) & 1)
+    odd_sig = (par & 1) == 1
+
+    ulp = h + h
+    up = (lead_hi > 0) | ((lead_hi == 0) & odd_sig)
+    dn = (lead_lo < 0) | ((lead_lo == 0) & odd_sig)
+    adj = jnp.where(up, ulp, jnp.where(dn, -ulp, _F(0.0)))
+    out = renorm([r[0], r[1], r[2], adj], out_n=3)
+
+    nz = ~zero
+    eo = jnp.where(out[0] != 0, _exponent(out[0]), _I(0))
+    out = _scale2(out, -eo)
+    return (jnp.where(nz, out[0], _F(0.0)),
+            jnp.where(nz, out[1], _F(0.0)),
+            jnp.where(nz, out[2], _F(0.0)),
+            jnp.where(nz, half_e + eo, _I(0)))
+
+
+@jax.jit
 def d_trunc_i32(a):
     """cvttsd2si (truncate toward zero) for |value| < 2^31."""
     small = jnp.asarray(a[3], _I) < -40     # |value| < 2^-37 -> 0

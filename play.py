@@ -128,6 +128,9 @@ def interactive(env: GymIntersectionEnv):
     fig, ax = plt.subplots(figsize=(7, 7))
     fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
     fig.canvas.mpl_connect("key_release_event", lambda e: on_key(e, False))
+    # also feed the reference-parity event surface (env.env.key_pressed /
+    # poll_events / window_should_close — envs/events.py)
+    env.env.attach_matplotlib(fig)
     obs, _ = env.reset()
     im = ax.imshow(env.render(show_lidar=state["show_lidar"]))
     plt.ion()

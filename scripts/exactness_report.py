@@ -45,20 +45,26 @@ CONFIGS = {
                     ("IN_5", "OUT_11"), ("IN_7", "OUT_1"), ("IN_8", "OUT_2"),
                     ("IN_10", "OUT_1"), ("IN_11", "OUT_5")],
             traffic=True, density=1.0, team=False),
+    # 2-lane layout (utils.py:29-38 mapping; different intent classification
+    # and corner-arc paths than 3 lanes — VERDICT r3 task 7): egos + traffic
+    5: dict(routes=[("IN_6", "OUT_2"), ("IN_1", "OUT_3"), ("IN_4", "OUT_8")],
+            traffic=True, density=1.0, team=False, lanes=2),
 }
 
 
-def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False):
+def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False,
+               exact_obs: bool = False):
     c = CONFIGS[cid]
     n = len(c["routes"])
-    cfg = EnvConfig(num_agents=n, traffic_flow=c["traffic"],
+    lanes = c.get("lanes", 3)
+    cfg = EnvConfig(num_agents=n, num_lanes=lanes, traffic_flow=c["traffic"],
                     traffic_density=c.get("density", 0.5),
                     use_team_reward=c["team"], max_steps=10 ** 9,
-                    exact_trig=exact_trig)
+                    exact_trig=exact_trig, exact_obs=exact_obs)
     env = IntersectionEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(seed), env.table.route_ids(c["routes"]))
     step = jax.jit(env.step)
-    oenv = O.OracleEnv(num_lanes=3, use_team=c["team"], traffic=c["traffic"],
+    oenv = O.OracleEnv(num_lanes=lanes, use_team=c["team"], traffic=c["traffic"],
                        max_steps=10 ** 9)
     oenv.reset(c["routes"])
 
@@ -71,6 +77,8 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False):
     lidar_total = 0
     worst = dict(reward=0.0, obs=0.0, pos=0.0, lidar=0.0)
     npc_steps = 0
+    reward_bit_exact = 0   # steps with every reward float bit-identical
+    obs_bit_exact = 0      # steps with all N x 127 obs floats bit-identical
 
     for t in range(steps):
         acts = np.stack([rng.choice([0.0, 0.5, 1.0, -0.5], n),
@@ -113,6 +121,14 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False):
         mo = np.asarray(out.obs)
         worst["obs"] = max(worst["obs"],
                            float(np.abs(mo[:, :31] - ref["obs"][:, :31]).max()))
+        # the full step-output BITSTREAM (VERDICT r3 task 2): raw f32 bit
+        # patterns of rewards and all 127 obs floats, signed zeros included
+        reward_bit_exact += int(np.array_equal(
+            np.asarray(out.reward, np.float32).view(np.uint32),
+            np.asarray(ref["reward"], np.float32).view(np.uint32)))
+        obs_bit_exact += int(np.array_equal(
+            mo.astype(np.float32).view(np.uint32),
+            np.asarray(ref["obs"], np.float32).view(np.uint32)))
         worst["pos"] = max(worst["pos"], float(np.abs(
             np.asarray(state.ego.x) - egos[:, 0]).max()))
         ld = np.abs(mo[:, 31:] - ref["obs"][:, 31:])
@@ -125,6 +141,8 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False):
         discrete_exact_rate=round(disc_exact / steps, 6),
         lidar_exact_rate=round(lidar_exact / lidar_total, 6),
         steps_with_npcs=npc_steps,
+        reward_bitexact_rate=round(reward_bit_exact / steps, 6),
+        obs_bitexact_rate=round(obs_bit_exact / steps, 6),
         worst_reward_diff=worst["reward"],
         worst_obs_diff=worst["obs"],
         worst_pos_diff_px=worst["pos"],
@@ -135,7 +153,7 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4])
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
     ap.add_argument("--write", action="store_true")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
                     help="platform for the JAX side (handled at import)")
@@ -143,11 +161,17 @@ def main():
                     help="enable EnvConfig.exact_trig (bit-replica libm "
                          "trig for the ego pose integrator; closes the "
                          "TPU pose-drift ulp, first compile is slow)")
+    ap.add_argument("--exact-obs", action="store_true",
+                    help="enable EnvConfig.exact_obs (bit-replica libm "
+                         "hypotf/atan2f/sqrtf + pinned divisions in the "
+                         "reward/obs builders — the full step-output "
+                         "bitstream should then be bit-exact)")
     args = ap.parse_args()
 
     results = []
     for cid in args.configs:
-        r = run_config(cid, args.steps, exact_trig=args.exact_trig)
+        r = run_config(cid, args.steps, exact_trig=args.exact_trig,
+                       exact_obs=args.exact_obs)
         print(json.dumps(r), flush=True)
         results.append(r)
 
@@ -162,12 +186,15 @@ def main():
                     "termination, truncation, agents_alive, path indices and\n"
                     "NPC fleets all bit-equal in a step.\n\n")
             f.write("| config | steps | discrete exact | lidar readings exact | "
+                    "rewards bit-exact | obs bit-exact | "
                     "worst |reward| diff | worst obs diff | worst ego pos diff (px) | "
-                    "worst lidar diff (px) |\n|---|---|---|---|---|---|---|---|\n")
+                    "worst lidar diff (px) |\n|---|---|---|---|---|---|---|---|---|---|\n")
             for r in results:
                 f.write(f"| {r['config']} | {r['steps']} | "
                         f"{100*r['discrete_exact_rate']:.2f}% | "
                         f"{100*r['lidar_exact_rate']:.4f}% | "
+                        f"{100*r['reward_bitexact_rate']:.2f}% | "
+                        f"{100*r['obs_bitexact_rate']:.2f}% | "
                         f"{r['worst_reward_diff']:.2e} | {r['worst_obs_diff']:.2e} | "
                         f"{r['worst_pos_diff_px']:.2e} | {r['worst_lidar_diff_px']:.0f} |\n")
             f.write("\nfloat32 trig ulp differences between XLA and libm shift "

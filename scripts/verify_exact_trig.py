@@ -80,10 +80,10 @@ def main():
                     help="sweep |x| bit patterns in [start, limit)")
     args = ap.parse_args()
 
-    from marl_traffic_intersection_tpu.ops.exact_trig import (cosf_exact,
-                                                              sinf_exact,
-                                                              tanf_exact)
-    impls = {"sinf": sinf_exact, "cosf": cosf_exact, "tanf": tanf_exact}
+    from marl_traffic_intersection_tpu.ops.exact_trig import (cosf_emulated,
+                                                              sinf_emulated,
+                                                              tanf_emulated)
+    impls = {"sinf": sinf_emulated, "cosf": cosf_emulated, "tanf": tanf_emulated}
     lib = _build_helper()
 
     failed = False
