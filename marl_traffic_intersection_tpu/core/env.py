@@ -114,6 +114,13 @@ class EnvConfig:
     #   slots join the obstacle set, +22% on the full traffic step; dense
     #   "xla" otherwise) | "xla" (fused jnp dense march) | "interval" |
     #   "pallas" (TPU kernel). All impls are bit-identical (tests/test_lidar_fuzz.py).
+    npc_cleanup: str = "slot"  # exact-mode cleanup schedule (core/npc.py
+    #   npc_controller_update): "slot" = one min-uid slot per while
+    #   iteration (cheap body; batch-max DEPENDENT-COUNT trip count) |
+    #   "wave" = all unblocked pending slots per iteration (dense body;
+    #   batch-max DAG-DEPTH trip count — wins when the batch is large
+    #   enough that some env has a deep dependent chain every tick).
+    #   Bitwise identical either way (tests/test_npc.py).
     npc_mode: str = "exact"  # "exact" (wave-scheduled, bit-match) |
     #                          "serial" (reference-shaped sequential loop,
     #                          bitwise equal to "exact", kept for diff tests) |
@@ -295,7 +302,10 @@ class IntersectionEnv:
             elif cfg.npc_mode == "serial":
                 from .npc import npc_traffic_update_serial as _npc_update
             else:
-                _npc_update = npc_traffic_update
+                from functools import partial as _partial
+                _npc_update = _partial(
+                    npc_traffic_update,
+                    wave_cleanup=cfg.npc_cleanup == "wave")
             npc, spawned = _npc_update(
                 npc, paths, goal_xy,
                 jnp.asarray(self._spawn_xy), jnp.asarray(self._spawn_heading),

@@ -366,12 +366,29 @@ def _interaction_graph(npc: NpcState, paths_all, pi0):
     return (acc_reach | scan_reach | scan_reach.T) & both & ~eye
 
 
-def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
+def npc_controller_update(npc: NpcState, paths_table, dt,
+                          wave_cleanup: bool = False) -> NpcState:
     """Exact controller pass: one dense synchronous plan+integrate for every
     slot with no interacting earlier-order neighbor, then a uid-ordered
-    one-slot-at-a-time cleanup for the dependent rest (see block comment
-    above). Bitwise identical to ``npc_controller_update_serial`` (asserted
-    by tests/test_npc.py's serial-vs-hybrid differential)."""
+    cleanup for the dependent rest (see block comment above). Bitwise
+    identical to ``npc_controller_update_serial`` (asserted by
+    tests/test_npc.py's serial-vs-hybrid differential).
+
+    wave_cleanup selects the cleanup schedule (VERDICT r3 task 5):
+      * False — one slot per while iteration (min-uid pending). Iteration
+        body is cheap (one (M,K) plan), but under vmap the trip count is
+        the BATCH max of per-env dependent counts, which grows with batch
+        size (PERF.md: the exact mode's B=8192 ceiling).
+      * True — one WAVE per iteration: every pending slot whose interacting
+        earlier-uid neighbors are all settled plans against the current
+        arrays and writes. Within a wave, ready slots never interact (an
+        interacting later one is blocked by its earlier partner), and
+        non-interacting state is invisible to a plan by the graph's
+        distance gates — so the wave replay is bitwise equal to the serial
+        order. The body costs a full dense (M,M,K) plan, but the trip
+        count is the batch max of DAG DEPTHS (typically 1-2) instead of
+        dependent counts.
+    """
     max_npcs = npc.alive.shape[0]
     from .physics import gather_rows_matmul
     paths = gather_rows_matmul(paths_table, npc.route_id)      # (M, P, 2)
@@ -408,6 +425,28 @@ def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
     def cond(carry):
         return jnp.any(carry[0])
 
+    def body_wave(carry):
+        pending, x, y, v, heading, steering, path_index = carry
+        ready = pending & ~jnp.any(interact & earlier & pending[:, None],
+                                   axis=0)
+
+        def plan_cur(sx, sy, sv, sh, su, pi, path, oh):
+            return _plan_npc_action(sx, sy, sv, sh, su, npc.alive & ~oh, pi,
+                                    x, y, v, heading, npc.uid, path)
+
+        th, st = jax.vmap(plan_cur)(x, y, v, heading, npc.uid, pi0, paths, eye)
+        o = car_physics_step(x, y, v, heading, steering, th, st, dt)
+        p1 = update_path_index(paths, PATH_LEN, pi0, o.x, o.y)
+        return (
+            pending & ~ready,
+            jnp.where(ready, o.x, x),
+            jnp.where(ready, o.y, y),
+            jnp.where(ready, o.v, v),
+            jnp.where(ready, o.heading, heading),
+            jnp.where(ready, o.steering_angle, steering),
+            jnp.where(ready, p1, path_index),
+        )
+
     def body(carry):
         pending, x, y, v, heading, steering, path_index = carry
         first_uid = jnp.min(jnp.where(pending, npc.uid, _UID_MAX))
@@ -435,7 +474,8 @@ def npc_controller_update(npc: NpcState, paths_table, dt) -> NpcState:
         )
 
     init = (dependent, x, y, v, heading, steering, path_index)
-    _, x, y, v, heading, steering, path_index = jax.lax.while_loop(cond, body, init)
+    _, x, y, v, heading, steering, path_index = jax.lax.while_loop(
+        cond, body_wave if wave_cleanup else body, init)
     return npc._replace(x=x, y=y, v=v, heading=heading, steering_angle=steering,
                         path_index=path_index)
 
@@ -529,12 +569,12 @@ def npc_try_spawn(npc: NpcState, do_try, route_choice, ego_x, ego_y, ego_present
 
 def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_heading,
                        traffic_route_ids, ego_x, ego_y, ego_present,
-                       do_try, route_choice, dt):
+                       do_try, route_choice, dt, wave_cleanup: bool = False):
     """Full per-tick NPC pipeline (TrafficFlow.cpp:318-367): spawn attempt ->
     sequential controller updates -> ordered collision removal -> despawn."""
     npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y, ego_present,
                                  traffic_route_ids, spawn_xy, spawn_heading)
-    npc = npc_controller_update(npc, paths_table, dt)
+    npc = npc_controller_update(npc, paths_table, dt, wave_cleanup=wave_cleanup)
     npc = npc_collisions(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned

@@ -76,11 +76,15 @@ def _mul(a, b):
 def sqrtf_exact(x):
     """IEEE-correctly-rounded f32 sqrt for x >= 0 on every backend.
 
-    XLA:CPU lowers to hardware sqrtss (already correct); the TPU refinement
-    can be a ulp off, so pick among {q0, q0±ulp} the candidate minimizing
-    the EXACT |x - q^2| via error-free transforms; ties to even (mirrors
-    exact_trig._div32). Midpoint ties (x == mid^2 exactly) round to the
-    even neighbor, which is exactly what minimize-then-even yields."""
+    XLA:CPU lowers to hardware sqrtss (already correct); the TPU's
+    refinement-based sqrt can land up to ~2 ulps off (measured on device —
+    a single-neighbor pass left obs[4] one ulp wrong on ~1.5% of steps), so
+    run THREE passes of pick-the-better-neighbor, each choosing among
+    {q, q±ulp} the candidate minimizing the EXACT |x - q^2| via error-free
+    transforms; ties to even (mirrors exact_trig._div32). Each pass
+    corrects one ulp of error, so the result is exact for any seed within
+    3 ulps of the true root. Midpoint ties (x == mid^2 exactly) round to
+    the even neighbor, which is exactly what minimize-then-even yields."""
     x = jnp.asarray(x, _F)
     # scale tiny/huge inputs into a frame where q^2 and its two_prod error
     # term stay normal (the Dekker split is meaningless on subnormals):
@@ -119,17 +123,20 @@ def sqrtf_exact(x):
         lead = jnp.where(d[0] != 0, d[0], jnp.where(d[1] != 0, d[1], d[2]))
         return lead <= 0
 
-    qu, qd = _next(q0, True), _next(q0, False)
-    r0, ru, rd = resid(q0), resid(qu), resid(qd)
-    # take a neighbor when its residual is strictly smaller, or equal with
-    # the neighbor holding the even significand (RN-even on exact ties)
-    even0 = (_bits(q0) & 1) == 0
-    take_up = abs_leq(ru, r0) & ((~abs_leq(r0, ru)) | ~even0)
-    q1 = jnp.where(take_up, qu, q0)
-    r1 = jax.tree.map(lambda a, b: jnp.where(take_up, a, b), ru, r0)
-    even1 = (_bits(q1) & 1) == 0
-    take_dn = abs_leq(rd, r1) & ((~abs_leq(r1, rd)) | ~even1)
-    q = jnp.where(take_dn, qd, q1)
+    def _pass(q):
+        # take a neighbor when its residual is strictly smaller, or equal
+        # with the neighbor holding the even significand (RN-even on ties)
+        qu, qd = _next(q, True), _next(q, False)
+        r0, ru, rd = resid(q), resid(qu), resid(qd)
+        even0 = (_bits(q) & 1) == 0
+        take_up = abs_leq(ru, r0) & ((~abs_leq(r0, ru)) | ~even0)
+        q1 = jnp.where(take_up, qu, q)
+        r1 = jax.tree.map(lambda a, b: jnp.where(take_up, a, b), ru, r0)
+        even1 = (_bits(q1) & 1) == 0
+        take_dn = abs_leq(rd, r1) & ((~abs_leq(r1, rd)) | ~even1)
+        return jnp.where(take_dn, qd, q1)
+
+    q = _pass(_pass(_pass(q0)))
     # exact zero / special handling: sqrt(0)=0, sqrt(inf)=inf, nan->nan
     exact = (x == 0) | ~jnp.isfinite(x)
     return jnp.where(exact, q0, q) * unscale

@@ -165,9 +165,9 @@ def test_wave_mode_bitwise_equals_serial(density, steps, seed):
     the ghost scan (long dependency chains), the hardest case for the wave
     scheduler's conservative interaction graph."""
     states = {}
-    for mode in ("exact", "serial"):
+    for mode, cleanup in (("exact", "slot"), ("exact", "wave"), ("serial", "slot")):
         cfg = EnvConfig(num_agents=1, traffic_flow=True, traffic_density=density,
-                        npc_mode=mode, max_steps=4000)
+                        npc_mode=mode, npc_cleanup=cleanup, max_steps=4000)
         env = IntersectionEnv(cfg)
         state, _ = env.reset(jax.random.PRNGKey(seed))
         step = jax.jit(env.step)
@@ -179,12 +179,15 @@ def test_wave_mode_bitwise_equals_serial(density, steps, seed):
             state, out = step(state, jnp.asarray([[0.3, 0.0]], np.float32),
                               spawn=(jnp.asarray(do_try), jnp.int32(rng.randint(T))))
             traj.append(jax.tree.map(np.asarray, state.npc))
-        states[mode] = traj
+        states[(mode, cleanup)] = traj
 
-    for t, (a, b) in enumerate(zip(states["exact"], states["serial"])):
-        for field in a._fields:
-            assert np.array_equal(getattr(a, field), getattr(b, field)), (
-                t, field, getattr(a, field), getattr(b, field))
+    # both cleanup schedules AND the serial transcription: bitwise identical
+    ref = states[("serial", "slot")]
+    for key in (("exact", "slot"), ("exact", "wave")):
+        for t, (a, b) in enumerate(zip(states[key], ref)):
+            for field in a._fields:
+                assert np.array_equal(getattr(a, field), getattr(b, field)), (
+                    key, t, field, getattr(a, field), getattr(b, field))
 
 
 @pytest.mark.oracle
