@@ -297,15 +297,20 @@ class IntersectionEnv:
                     sub, int(self._traffic_ids.shape[0]), cfg.traffic_density, dt)
             else:
                 do_try, route_choice = spawn
+            from functools import partial as _partial
+            # exact_acc pins the reference's separate acc*dt rounding in the
+            # NPC v chain (physics.car_physics_step) — exactness modes only
+            _ea = cfg.exact_trig or cfg.exact_obs
             if cfg.npc_mode == "fast":
-                from .npc import npc_traffic_update_fast as _npc_update
+                from .npc import npc_traffic_update_fast
+                _npc_update = _partial(npc_traffic_update_fast, exact_acc=_ea)
             elif cfg.npc_mode == "serial":
-                from .npc import npc_traffic_update_serial as _npc_update
+                from .npc import npc_traffic_update_serial
+                _npc_update = _partial(npc_traffic_update_serial, exact_acc=_ea)
             else:
-                from functools import partial as _partial
                 _npc_update = _partial(
                     npc_traffic_update,
-                    wave_cleanup=cfg.npc_cleanup == "wave")
+                    wave_cleanup=cfg.npc_cleanup == "wave", exact_acc=_ea)
             npc, spawned = _npc_update(
                 npc, paths, goal_xy,
                 jnp.asarray(self._spawn_xy), jnp.asarray(self._spawn_heading),
@@ -321,7 +326,8 @@ class IntersectionEnv:
         alive = ego.alive
         ph = car_physics_step(ego.x, ego.y, ego.v, ego.heading, ego.steering_angle,
                               actions[:, 0], actions[:, 1], dt,
-                              exact_trig=cfg.exact_trig)
+                              exact_trig=cfg.exact_trig,
+                              exact_acc=cfg.exact_trig or cfg.exact_obs)
         x = jnp.where(alive, ph.x, ego.x)
         y = jnp.where(alive, ph.y, ego.y)
         v = jnp.where(alive, ph.v, ego.v)

@@ -206,7 +206,8 @@ def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid,
     return throttle, steer_cmd
 
 
-def npc_controller_update_serial(npc: NpcState, paths_table, dt) -> NpcState:
+def npc_controller_update_serial(npc: NpcState, paths_table, dt,
+                                 exact_acc: bool = False) -> NpcState:
     """Sequential per-NPC plan+update pass (TrafficFlow.cpp:330-344).
 
     ``paths_table``: (R, PATH_LEN, 2) route polyline table.
@@ -245,7 +246,8 @@ def npc_controller_update_serial(npc: NpcState, paths_table, dt) -> NpcState:
         throttle, steer = _plan_npc_action(
             sx, sy, sv, sh, sel(npc.uid), npc.alive & ~oh, pi0,
             x, y, v, heading, npc.uid, path)
-        out = car_physics_step(sx, sy, sv, sh, sel(steering), throttle, steer, dt)
+        out = car_physics_step(sx, sy, sv, sh, sel(steering), throttle,
+                               steer, dt, exact_acc=exact_acc)
         pi1 = update_path_index(path, PATH_LEN, pi0, out.x, out.y)
 
         write = oh & present
@@ -367,7 +369,8 @@ def _interaction_graph(npc: NpcState, paths_all, pi0):
 
 
 def npc_controller_update(npc: NpcState, paths_table, dt,
-                          wave_cleanup: bool = False) -> NpcState:
+                          wave_cleanup: bool = False,
+                          exact_acc: bool = False) -> NpcState:
     """Exact controller pass: one dense synchronous plan+integrate for every
     slot with no interacting earlier-order neighbor, then a uid-ordered
     cleanup for the dependent rest (see block comment above). Bitwise
@@ -409,7 +412,8 @@ def npc_controller_update(npc: NpcState, paths_table, dt,
     throttle, steer = jax.vmap(plan_one)(npc.x, npc.y, npc.v, npc.heading,
                                          npc.uid, pi0, paths, eye)
     out = car_physics_step(npc.x, npc.y, npc.v, npc.heading,
-                           npc.steering_angle, throttle, steer, dt)
+                           npc.steering_angle, throttle, steer, dt,
+                           exact_acc=exact_acc)
     pi1 = update_path_index(paths, PATH_LEN, pi0, out.x, out.y)
     write0 = npc.alive & ~dependent
     x = jnp.where(write0, out.x, npc.x)
@@ -435,7 +439,8 @@ def npc_controller_update(npc: NpcState, paths_table, dt,
                                     x, y, v, heading, npc.uid, path)
 
         th, st = jax.vmap(plan_cur)(x, y, v, heading, npc.uid, pi0, paths, eye)
-        o = car_physics_step(x, y, v, heading, steering, th, st, dt)
+        o = car_physics_step(x, y, v, heading, steering, th, st, dt,
+                             exact_acc=exact_acc)
         p1 = update_path_index(paths, PATH_LEN, pi0, o.x, o.y)
         return (
             pending & ~ready,
@@ -461,7 +466,8 @@ def npc_controller_update(npc: NpcState, paths_table, dt,
         th, st = _plan_npc_action(sx, sy, sv, sh, sel(npc.uid),
                                   npc.alive & ~oh, sel(pi0),
                                   x, y, v, heading, npc.uid, path)
-        o = car_physics_step(sx, sy, sv, sh, sel(steering), th, st, dt)
+        o = car_physics_step(sx, sy, sv, sh, sel(steering), th, st, dt,
+                             exact_acc=exact_acc)
         p1 = update_path_index(path, PATH_LEN, sel(pi0), o.x, o.y)
         return (
             pending & ~oh,
@@ -569,12 +575,14 @@ def npc_try_spawn(npc: NpcState, do_try, route_choice, ego_x, ego_y, ego_present
 
 def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_heading,
                        traffic_route_ids, ego_x, ego_y, ego_present,
-                       do_try, route_choice, dt, wave_cleanup: bool = False):
+                       do_try, route_choice, dt, wave_cleanup: bool = False,
+                       exact_acc: bool = False):
     """Full per-tick NPC pipeline (TrafficFlow.cpp:318-367): spawn attempt ->
     sequential controller updates -> ordered collision removal -> despawn."""
     npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y, ego_present,
                                  traffic_route_ids, spawn_xy, spawn_heading)
-    npc = npc_controller_update(npc, paths_table, dt, wave_cleanup=wave_cleanup)
+    npc = npc_controller_update(npc, paths_table, dt, wave_cleanup=wave_cleanup,
+                                exact_acc=exact_acc)
     npc = npc_collisions(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned
@@ -582,21 +590,24 @@ def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_head
 
 def npc_traffic_update_serial(npc: NpcState, paths_table, goal_xy, spawn_xy,
                               spawn_heading, traffic_route_ids, ego_x, ego_y,
-                              ego_present, do_try, route_choice, dt):
+                              ego_present, do_try, route_choice, dt,
+                              exact_acc: bool = False):
     """Ground-truth serial per-tick NPC pipeline: the direct transcription of
     the reference's sequential loops. ``npc_traffic_update`` (wave-scheduled)
     must match this bitwise; see tests/test_npc.py."""
     npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y,
                                  ego_present, traffic_route_ids, spawn_xy,
                                  spawn_heading)
-    npc = npc_controller_update_serial(npc, paths_table, dt)
+    npc = npc_controller_update_serial(npc, paths_table, dt,
+                                       exact_acc=exact_acc)
     npc = npc_collisions_serial(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned
 
 
 # ----------------------------------------------------------------- fast mode
-def npc_controller_update_fast(npc: NpcState, paths_table, dt) -> NpcState:
+def npc_controller_update_fast(npc: NpcState, paths_table, dt,
+                               exact_acc: bool = False) -> NpcState:
     """Synchronous (vectorized) controller pass — the opt-in training-speed
     variant of npc_controller_update. All NPCs plan against the same pre-tick
     snapshot instead of the reference's sequential in-place updates
@@ -619,7 +630,7 @@ def npc_controller_update_fast(npc: NpcState, paths_table, dt) -> NpcState:
 
     throttle, steer = jax.vmap(plan_one)(slots, pi0, paths)
     out = car_physics_step(npc.x, npc.y, npc.v, npc.heading, npc.steering_angle,
-                           throttle, steer, dt)
+                           throttle, steer, dt, exact_acc=exact_acc)
     pi1 = update_path_index(paths, PATH_LEN, pi0, out.x, out.y)
 
     keep = npc.alive
@@ -648,12 +659,14 @@ def npc_collisions_fast(npc: NpcState) -> NpcState:
 
 def npc_traffic_update_fast(npc: NpcState, paths_table, goal_xy, spawn_xy,
                             spawn_heading, traffic_route_ids, ego_x, ego_y,
-                            ego_present, do_try, route_choice, dt):
+                            ego_present, do_try, route_choice, dt,
+                            exact_acc: bool = False):
     """Fast-mode per-tick NPC pipeline (see npc_traffic_update)."""
     npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y,
                                  ego_present, traffic_route_ids, spawn_xy,
                                  spawn_heading)
-    npc = npc_controller_update_fast(npc, paths_table, dt)
+    npc = npc_controller_update_fast(npc, paths_table, dt,
+                                     exact_acc=exact_acc)
     npc = npc_collisions_fast(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned

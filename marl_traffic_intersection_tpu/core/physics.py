@@ -94,7 +94,8 @@ class CarPhysicsOut(NamedTuple):
 
 
 def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt,
-                     exact_trig: bool = False) -> CarPhysicsOut:
+                     exact_trig: bool = False,
+                     exact_acc: bool = False) -> CarPhysicsOut:
     """One physics tick, matching Car::update exactly (cpp/Car.cpp:9-40).
 
     All inputs are float32 arrays of a common broadcast shape (typically (N,)).
@@ -121,13 +122,17 @@ def car_physics_step(x, y, v, heading, steering_angle, throttle, steer, dt,
     steer = jnp.asarray(steer, f32)
     dt = jnp.asarray(dt, f32)
 
-    # barrier: with both MAX_ACC and dt compile-time constants, XLA algsimp
-    # merges (throttle*15)*dt into one multiply by 0.25 whenever acc is
-    # single-use — the NPC path discards out.acc, so its v update silently
-    # lost the reference's separate acc rounding (found by the NPC-v
-    # bitstream diff; the EGO path was safe only because acc also feeds the
-    # smooth reward). The barrier pins the intermediate on every path.
-    acc = jax.lax.optimization_barrier(throttle * f32(MAX_ACC))
+    # exact_acc barrier: with both MAX_ACC and dt compile-time constants,
+    # XLA algsimp merges (throttle*15)*dt into one multiply by 0.25
+    # whenever acc is single-use — the NPC path discards out.acc, so its v
+    # update silently lost the reference's separate acc rounding (found by
+    # the NPC-v bitstream diff; the EGO path was safe only because acc
+    # also feeds the smooth reward). Gated on the exactness modes: the
+    # barrier also blocks fusion in the hot step (~5% headline cost), and
+    # the default training path never promised the last NPC-v ulp.
+    acc = throttle * f32(MAX_ACC)
+    if exact_acc:
+        acc = jax.lax.optimization_barrier(acc)
     # mul_unfused on every a*b feeding an add OR sub: pins the reference's
     # separate product rounding on CPU (g++ baseline ISA emits no FMA; see
     # docstring). The target_steering product feeds the lag subtraction —
