@@ -67,9 +67,9 @@ def main():
 
         # settle into the steady state before timing (alive count ramps up
         # over the first ~mean-transit ticks)
-        for _ in range(3):
+        for _ in range(4):
             state, _c = multi_step(state)
-        jax.block_until_ready(state)
+        jax.block_until_ready((state, _c))
 
         vals = []
         alive_stats = []
@@ -77,7 +77,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 state, _c = multi_step(state)
-            jax.block_until_ready(state)
+            jax.block_until_ready((state, _c))
             dtm = time.perf_counter() - t0
             vals.append((B * args.inner * args.iters) / dtm)
             al = np.asarray(state.npc.alive).sum(axis=1)
