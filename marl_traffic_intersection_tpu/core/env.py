@@ -144,10 +144,14 @@ class EnvConfig:
     #   instead of the device transcendentals. Closes the last TPU pose-
     #   drift ulp (EXACTNESS.md config-4 lidar tail). Scope: the ego pose
     #   integrator (trig + the v/WHEELBASE division — TPU f32 divide is a
-    #   non-IEEE reciprocal refinement) and the lidar ray-direction /
-    #   obstacle-extent trig. NPC fleets and SAT corners stay on XLA trig
-    #   (measured bit-exact on device over 2000-step rollouts). Opt-in for
-    #   exactness verification — ~10^4 flops per trig call.
+    #   non-IEEE reciprocal refinement), the lidar ray-direction /
+    #   obstacle-extent trig, AND (round 4) the NPC chain — the planner's
+    #   atan2f (its steer command is continuous and feeds the steering
+    #   integral) and the NPC pose integrator's trig — which the TPU
+    #   traffic obs bitstream needs (NPC headings appear in the neighbor
+    #   dtheta features). SAT corners stay on XLA trig (measured bit-exact
+    #   on device). Opt-in for exactness verification — ~10^4 flops per
+    #   emulated trig call on device; host-libm callbacks on CPU.
     exact_obs: bool = False  # bit-exact REWARD and OBSERVATION float
     #   streams (VERDICT r3 task 2 — the (N,127) obs vector IS the contract,
     #   SURVEY §2). Routes the reward helpers' hypotf and the obs builder's
@@ -303,14 +307,17 @@ class IntersectionEnv:
             _ea = cfg.exact_trig or cfg.exact_obs
             if cfg.npc_mode == "fast":
                 from .npc import npc_traffic_update_fast
-                _npc_update = _partial(npc_traffic_update_fast, exact_acc=_ea)
+                _npc_update = _partial(npc_traffic_update_fast, exact_acc=_ea,
+                                       exact_trig=cfg.exact_trig)
             elif cfg.npc_mode == "serial":
                 from .npc import npc_traffic_update_serial
-                _npc_update = _partial(npc_traffic_update_serial, exact_acc=_ea)
+                _npc_update = _partial(npc_traffic_update_serial, exact_acc=_ea,
+                                       exact_trig=cfg.exact_trig)
             else:
                 _npc_update = _partial(
                     npc_traffic_update,
-                    wave_cleanup=cfg.npc_cleanup == "wave", exact_acc=_ea)
+                    wave_cleanup=cfg.npc_cleanup == "wave", exact_acc=_ea,
+                    exact_trig=cfg.exact_trig)
             npc, spawned = _npc_update(
                 npc, paths, goal_xy,
                 jnp.asarray(self._spawn_xy), jnp.asarray(self._spawn_heading),

@@ -94,7 +94,8 @@ def spawn_decision(key, num_traffic_routes: int, density, dt) -> Tuple[jnp.ndarr
     return do_try, route_choice
 
 
-def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid, path):
+def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid, path,
+                     exact_trig: bool = False):
     """Plan one NPC's (throttle, steer) — TrafficFlow.cpp:50-196, fully masked.
 
     ``sx/sy/sv/sh`` are the planner's own pose, ``my_uid`` its uid, ``others``
@@ -108,7 +109,14 @@ def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid,
     # --- 1) lateral: P-control on lookahead heading error (TrafficFlow.cpp:52-64)
     tgt_idx = jnp.minimum(pi0 + 12, PATH_LEN - 1)
     tx, ty = path[tgt_idx, 0], path[tgt_idx, 1]
-    angle_to_target = jnp.arctan2(-(ty - sy), tx - sx)
+    if exact_trig:
+        # the steer command is CONTINUOUS (feeds the steering integral), so
+        # NPC heading bit-exactness needs the libm atan2f here; every other
+        # transcendental in the planner only feeds threshold comparisons
+        from ..ops.exact_libm import atan2f_exact
+        angle_to_target = atan2f_exact(-(ty - sy), tx - sx)
+    else:
+        angle_to_target = jnp.arctan2(-(ty - sy), tx - sx)
     heading_err = wrap_angle(angle_to_target - sh)
     steer_cmd = jnp.clip(heading_err * _F(3.0), _F(-1.0), _F(1.0))
 
@@ -207,7 +215,8 @@ def _plan_npc_action(sx, sy, sv, sh, my_uid, others, pi0, x, y, v, heading, uid,
 
 
 def npc_controller_update_serial(npc: NpcState, paths_table, dt,
-                                 exact_acc: bool = False) -> NpcState:
+                                 exact_acc: bool = False,
+                                 exact_trig: bool = False) -> NpcState:
     """Sequential per-NPC plan+update pass (TrafficFlow.cpp:330-344).
 
     ``paths_table``: (R, PATH_LEN, 2) route polyline table.
@@ -245,9 +254,10 @@ def npc_controller_update_serial(npc: NpcState, paths_table, dt,
         pi0 = update_path_index(path, PATH_LEN, sel(path_index), sx, sy)
         throttle, steer = _plan_npc_action(
             sx, sy, sv, sh, sel(npc.uid), npc.alive & ~oh, pi0,
-            x, y, v, heading, npc.uid, path)
+            x, y, v, heading, npc.uid, path, exact_trig=exact_trig)
         out = car_physics_step(sx, sy, sv, sh, sel(steering), throttle,
-                               steer, dt, exact_acc=exact_acc)
+                               steer, dt, exact_acc=exact_acc,
+                               exact_trig=exact_trig)
         pi1 = update_path_index(path, PATH_LEN, pi0, out.x, out.y)
 
         write = oh & present
@@ -370,7 +380,8 @@ def _interaction_graph(npc: NpcState, paths_all, pi0):
 
 def npc_controller_update(npc: NpcState, paths_table, dt,
                           wave_cleanup: bool = False,
-                          exact_acc: bool = False) -> NpcState:
+                          exact_acc: bool = False,
+                          exact_trig: bool = False) -> NpcState:
     """Exact controller pass: one dense synchronous plan+integrate for every
     slot with no interacting earlier-order neighbor, then a uid-ordered
     cleanup for the dependent rest (see block comment above). Bitwise
@@ -407,13 +418,14 @@ def npc_controller_update(npc: NpcState, paths_table, dt,
 
     def plan_one(sx, sy, sv, sh, su, pi, path, oh):
         return _plan_npc_action(sx, sy, sv, sh, su, npc.alive & ~oh, pi,
-                                npc.x, npc.y, npc.v, npc.heading, npc.uid, path)
+                                npc.x, npc.y, npc.v, npc.heading, npc.uid,
+                                path, exact_trig=exact_trig)
 
     throttle, steer = jax.vmap(plan_one)(npc.x, npc.y, npc.v, npc.heading,
                                          npc.uid, pi0, paths, eye)
     out = car_physics_step(npc.x, npc.y, npc.v, npc.heading,
                            npc.steering_angle, throttle, steer, dt,
-                           exact_acc=exact_acc)
+                           exact_acc=exact_acc, exact_trig=exact_trig)
     pi1 = update_path_index(paths, PATH_LEN, pi0, out.x, out.y)
     write0 = npc.alive & ~dependent
     x = jnp.where(write0, out.x, npc.x)
@@ -436,11 +448,12 @@ def npc_controller_update(npc: NpcState, paths_table, dt,
 
         def plan_cur(sx, sy, sv, sh, su, pi, path, oh):
             return _plan_npc_action(sx, sy, sv, sh, su, npc.alive & ~oh, pi,
-                                    x, y, v, heading, npc.uid, path)
+                                    x, y, v, heading, npc.uid, path,
+                                    exact_trig=exact_trig)
 
         th, st = jax.vmap(plan_cur)(x, y, v, heading, npc.uid, pi0, paths, eye)
         o = car_physics_step(x, y, v, heading, steering, th, st, dt,
-                             exact_acc=exact_acc)
+                             exact_acc=exact_acc, exact_trig=exact_trig)
         p1 = update_path_index(paths, PATH_LEN, pi0, o.x, o.y)
         return (
             pending & ~ready,
@@ -465,9 +478,10 @@ def npc_controller_update(npc: NpcState, paths_table, dt,
         sx, sy, sv, sh = sel(x), sel(y), sel(v), sel(heading)
         th, st = _plan_npc_action(sx, sy, sv, sh, sel(npc.uid),
                                   npc.alive & ~oh, sel(pi0),
-                                  x, y, v, heading, npc.uid, path)
+                                  x, y, v, heading, npc.uid, path,
+                                  exact_trig=exact_trig)
         o = car_physics_step(sx, sy, sv, sh, sel(steering), th, st, dt,
-                             exact_acc=exact_acc)
+                             exact_acc=exact_acc, exact_trig=exact_trig)
         p1 = update_path_index(path, PATH_LEN, sel(pi0), o.x, o.y)
         return (
             pending & ~oh,
@@ -576,13 +590,13 @@ def npc_try_spawn(npc: NpcState, do_try, route_choice, ego_x, ego_y, ego_present
 def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_heading,
                        traffic_route_ids, ego_x, ego_y, ego_present,
                        do_try, route_choice, dt, wave_cleanup: bool = False,
-                       exact_acc: bool = False):
+                       exact_acc: bool = False, exact_trig: bool = False):
     """Full per-tick NPC pipeline (TrafficFlow.cpp:318-367): spawn attempt ->
     sequential controller updates -> ordered collision removal -> despawn."""
     npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y, ego_present,
                                  traffic_route_ids, spawn_xy, spawn_heading)
     npc = npc_controller_update(npc, paths_table, dt, wave_cleanup=wave_cleanup,
-                                exact_acc=exact_acc)
+                                exact_acc=exact_acc, exact_trig=exact_trig)
     npc = npc_collisions(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned
@@ -591,7 +605,8 @@ def npc_traffic_update(npc: NpcState, paths_table, goal_xy, spawn_xy, spawn_head
 def npc_traffic_update_serial(npc: NpcState, paths_table, goal_xy, spawn_xy,
                               spawn_heading, traffic_route_ids, ego_x, ego_y,
                               ego_present, do_try, route_choice, dt,
-                              exact_acc: bool = False):
+                              exact_acc: bool = False,
+                              exact_trig: bool = False):
     """Ground-truth serial per-tick NPC pipeline: the direct transcription of
     the reference's sequential loops. ``npc_traffic_update`` (wave-scheduled)
     must match this bitwise; see tests/test_npc.py."""
@@ -599,7 +614,8 @@ def npc_traffic_update_serial(npc: NpcState, paths_table, goal_xy, spawn_xy,
                                  ego_present, traffic_route_ids, spawn_xy,
                                  spawn_heading)
     npc = npc_controller_update_serial(npc, paths_table, dt,
-                                       exact_acc=exact_acc)
+                                       exact_acc=exact_acc,
+                                       exact_trig=exact_trig)
     npc = npc_collisions_serial(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned
@@ -607,7 +623,8 @@ def npc_traffic_update_serial(npc: NpcState, paths_table, goal_xy, spawn_xy,
 
 # ----------------------------------------------------------------- fast mode
 def npc_controller_update_fast(npc: NpcState, paths_table, dt,
-                               exact_acc: bool = False) -> NpcState:
+                               exact_acc: bool = False,
+                               exact_trig: bool = False) -> NpcState:
     """Synchronous (vectorized) controller pass — the opt-in training-speed
     variant of npc_controller_update. All NPCs plan against the same pre-tick
     snapshot instead of the reference's sequential in-place updates
@@ -626,11 +643,13 @@ def npc_controller_update_fast(npc: NpcState, paths_table, dt,
         others = npc.alive & (slots != slot)
         return _plan_npc_action(npc.x[slot], npc.y[slot], npc.v[slot],
                                 npc.heading[slot], npc.uid[slot], others, pi,
-                                npc.x, npc.y, npc.v, npc.heading, npc.uid, path)
+                                npc.x, npc.y, npc.v, npc.heading, npc.uid,
+                                path, exact_trig=exact_trig)
 
     throttle, steer = jax.vmap(plan_one)(slots, pi0, paths)
     out = car_physics_step(npc.x, npc.y, npc.v, npc.heading, npc.steering_angle,
-                           throttle, steer, dt, exact_acc=exact_acc)
+                           throttle, steer, dt, exact_acc=exact_acc,
+                           exact_trig=exact_trig)
     pi1 = update_path_index(paths, PATH_LEN, pi0, out.x, out.y)
 
     keep = npc.alive
@@ -660,13 +679,15 @@ def npc_collisions_fast(npc: NpcState) -> NpcState:
 def npc_traffic_update_fast(npc: NpcState, paths_table, goal_xy, spawn_xy,
                             spawn_heading, traffic_route_ids, ego_x, ego_y,
                             ego_present, do_try, route_choice, dt,
-                            exact_acc: bool = False):
+                            exact_acc: bool = False,
+                            exact_trig: bool = False):
     """Fast-mode per-tick NPC pipeline (see npc_traffic_update)."""
     npc, spawned = npc_try_spawn(npc, do_try, route_choice, ego_x, ego_y,
                                  ego_present, traffic_route_ids, spawn_xy,
                                  spawn_heading)
     npc = npc_controller_update_fast(npc, paths_table, dt,
-                                     exact_acc=exact_acc)
+                                     exact_acc=exact_acc,
+                                     exact_trig=exact_trig)
     npc = npc_collisions_fast(npc)
     npc = npc_despawn(npc, goal_xy)
     return npc, spawned

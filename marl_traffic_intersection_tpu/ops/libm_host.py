@@ -87,14 +87,15 @@ def _scalar_fallback(name):
 
 def _vec(name):
     def call(x):
+        shape = np.shape(x)           # ascontiguousarray promotes 0-d to 1-d
         x = np.ascontiguousarray(x, np.float32)
         out = np.empty_like(x)
         try:
             lib = _load()
         except Exception:
-            return _scalar_fallback(name[:4].rstrip("_"))(x)
+            return _scalar_fallback(name.split("_")[0])(x).reshape(shape)
         getattr(lib, name)(x.ravel(), out.ravel(), x.size)
-        return out
+        return out.reshape(shape)
 
     return call
 
