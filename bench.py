@@ -33,7 +33,7 @@ import numpy as np
 def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int,
               traffic: bool = False, npc_mode: str = "fast",
               density: float = 1.0, exact_trig: bool = False,
-              repeats: int = 5) -> list:
+              repeats: int = 5, npc_cleanup: str = "slot") -> list:
     """Returns the list of per-block throughputs (env-steps/s), one per repeat."""
     import jax
 
@@ -49,7 +49,8 @@ def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int,
 
     env = IntersectionEnv(EnvConfig(
         num_agents=num_agents, max_steps=10 ** 9, traffic_flow=traffic,
-        traffic_density=density, npc_mode=npc_mode, exact_trig=exact_trig))
+        traffic_density=density, npc_mode=npc_mode, exact_trig=exact_trig,
+        npc_cleanup=npc_cleanup))
     venv = VectorEnv(env, num_envs=num_envs, auto_reset=True)
     state, obs = jax.jit(venv.reset)(jax.random.PRNGKey(0))
 
@@ -142,9 +143,11 @@ def main():
 
     if traffic:
         npc_mode = os.environ.get("BENCH_NPC_MODE", "fast")
+        npc_cleanup = os.environ.get("BENCH_NPC_CLEANUP", "slot")
         vals = bench_tpu(num_envs, num_agents, iters, inner,
                          traffic=True, npc_mode=npc_mode, density=density,
-                         exact_trig=exact_trig, repeats=repeats)
+                         exact_trig=exact_trig, repeats=repeats,
+                         npc_cleanup=npc_cleanup)
         ref = None if retime else _pinned_reference(True, density, num_agents)
         if ref is None:
             try:
@@ -152,7 +155,9 @@ def main():
             except Exception:
                 ref = 60.0
         metric = (f"traffic-mode env-steps/s/chip ({num_envs} envs, "
-                  f"density {density}, npc_mode={npc_mode})")
+                  f"density {density}, npc_mode={npc_mode}"
+                  + (f", npc_cleanup={npc_cleanup}" if npc_cleanup != "slot"
+                     else "") + ")")
     else:
         vals = bench_tpu(num_envs, num_agents, iters, inner,
                          exact_trig=exact_trig, repeats=repeats)

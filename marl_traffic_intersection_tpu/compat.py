@@ -194,6 +194,27 @@ class Car:
             car.path_index = int(np.asarray(ego.path_index)[slot])
         return car
 
+    @classmethod
+    def from_npc_state(cls, state, slot: int, paths: Optional[np.ndarray] = None) -> "Car":
+        """Load NPC slot ``slot`` of a core ``EnvState`` into a Car (the
+        reference exposes NPCs as plain Car objects in ``env.traffic_cars``,
+        cpp/bindings.cpp:67)."""
+        car = cls()
+        npc = state.npc
+        g = lambda name, d=0.0: (float(np.asarray(getattr(npc, name))[slot])
+                                 if hasattr(npc, name) else d)
+        car.state = State(g("x"), g("y"), g("v"), g("heading"))
+        car.steering_angle = g("steering_angle")
+        car.alive = bool(np.asarray(npc.alive)[slot])
+        if hasattr(npc, "path_index"):
+            car.path_index = int(np.asarray(npc.path_index)[slot])
+        if paths is not None and hasattr(npc, "route_id"):
+            rid = int(np.asarray(npc.route_id)[slot])
+            pi = car.path_index
+            car.set_path(np.asarray(paths)[rid])
+            car.path_index = pi
+        return car
+
 
 class Lidar:
     """Standalone beam sensor with the reference's defaults (cpp/Lidar.h:10-14:

@@ -457,7 +457,12 @@ class IntersectionEnv:
                 # division and both mix products (FMA contraction on CPU)
                 from ..core.physics import mul_unfused as _mu
                 from ..ops.exact_trig import _div32
-                total = rewards[0]
+                # seed with 0.0f + r0 exactly as the reference's accumulator
+                # (cpp:330 starts `avg = 0.0f`): 0.0 + (-0.0) = +0.0, so a
+                # bare `rewards[0]` seed would keep a negative zero the
+                # reference drops. Barrier the zero so algsimp can't fold
+                # the add away and restore the -0.0.
+                total = jax.lax.optimization_barrier(_F(0.0)) + rewards[0]
                 for i in range(1, n):
                     total = total + rewards[i]
                 avg = _div32(total, _F(n))

@@ -19,12 +19,15 @@ Semantics mirrored from the reference:
 Note: the reference's Python ``utils.build_lane_layout`` uses a 900x900 canvas
 (utils.py:4) that disagrees with the authoritative 750x750 C++ layout; only the
 C++ layout drives the simulation, so this module implements the 750x750 one.
-All arithmetic is done in float64 and rounded once to float32, which matches
-the C++ float pipeline to <=1 ulp.
+All arithmetic is performed in float32 with the reference's operation order;
+the arc trig (cpp/RouteGen.cpp:183-195 calls ``std::cos/std::sin`` on float,
+i.e. libm cosf/sinf) and the spawn heading's atan2 go through the HOST libm
+via ctypes (ops/libm_host.py), so the whole table is bit-identical to the
+compiled C++ pipeline — including right-turn corner arcs, where an
+f64-rounded numpy cosine disagrees with cosf on 1-ulp cases.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Sequence, Tuple
 
@@ -159,21 +162,27 @@ _PI_F32 = np.float32(_PI_F64)  # f32-rounded pi, as the C++ PI_F literal
 
 
 def _cos32(theta32: np.ndarray) -> np.ndarray:
-    """Correctly-rounded float32 cosine of float32 input (<=1 ulp vs libm cosf)."""
-    return np.cos(np.asarray(theta32, np.float64)).astype(np.float32)
+    """Host-libm ``cosf`` — bit-identical to the reference's ``std::cos(float)``
+    (cpp/RouteGen.cpp:183-195). An f64 cosine rounded to f32 differs on 1-ulp
+    cases (e.g. the IN_3->OUT_12 arc), so the real libm is called via ctypes."""
+    from ..ops.libm_host import cosf_np
+    return cosf_np(np.asarray(theta32, np.float32))
 
 
 def _sin32(theta32: np.ndarray) -> np.ndarray:
-    return np.sin(np.asarray(theta32, np.float64)).astype(np.float32)
+    """Host-libm ``sinf`` (see ``_cos32``)."""
+    from ..ops.libm_host import sinf_np
+    return sinf_np(np.asarray(theta32, np.float32))
 
 
 def generate_path(layout: dict, num_lanes: int, intent: int, start_id: str, end_id: str) -> np.ndarray:
     """Generate the 160-point route polyline (reference: cpp/RouteGen.cpp:111-205).
 
     Returns float32 array of shape (PATH_LEN, 2). All arithmetic is performed
-    in float32 with the reference's operation order, so linear/Bezier segments
-    are bit-identical to the C++ float pipeline; arc trig is correctly-rounded
-    float32 (within 1 ulp of libm cosf/sinf).
+    in float32 with the reference's operation order, and arc trig calls the
+    host libm's cosf/sinf (the functions ``std::cos/std::sin(float)`` resolve
+    to), so every segment — linear, Bezier, and right-turn corner arc — is
+    bit-identical to the C++ float pipeline.
     """
     f = np.float32
     cx, cy = f(WIDTH * 0.5), f(HEIGHT * 0.5)
@@ -317,10 +326,13 @@ def build_route_table(num_lanes: int = 3) -> RouteTable:
             p = generate_path(layout, num_lanes, it, start_id, end_id)
             paths[rid] = p
             spawn_xy[rid] = np.asarray(layout["points"][start_id], dtype=np.float32)
-            # Heading from first path segment (reference: cpp/IntersectionEnv.cpp:88-92)
-            dx = float(p[1, 0]) - float(p[0, 0])
-            dy = float(p[1, 1]) - float(p[0, 1])
-            spawn_heading[rid] = np.float32(math.atan2(-dy, dx))
+            # Heading from first path segment (reference: cpp/IntersectionEnv.cpp:88-92,
+            # `std::atan2(-dy, dx)` on float = libm atan2f) — host-libm call for
+            # bit-identity with the compiled reference.
+            from ..ops.libm_host import atan2f_np
+            dx = np.float32(p[1, 0]) - np.float32(p[0, 0])
+            dy = np.float32(p[1, 1]) - np.float32(p[0, 1])
+            spawn_heading[rid] = atan2f_np(-dy, dx)
             intent[rid] = it
 
     table = RouteTable(

@@ -36,6 +36,89 @@ DEFAULT_REWARD_CONFIG = {
 }
 
 
+class RawEnvView:
+    """The raw binding's attribute + event surface (cpp/bindings.cpp:64-82).
+
+    The reference's pybind11 env object exposes ``cars``, ``traffic_cars``,
+    ``lidars`` and ``step_count`` as live attributes (bindings.cpp:66-69)
+    alongside the GLFW queries (``poll_events``/``key_pressed``/
+    ``window_should_close``, bindings.cpp:80-82). This view reproduces the
+    whole idiom on ``GymIntersectionEnv.env``: attribute reads materialize
+    object-level ``compat.Car``/``compat.Lidar`` snapshots from the current
+    ``EnvState`` pytree (value semantics — the TPU-native state is immutable,
+    so the attributes are per-read snapshots, not aliased references; a
+    documented deviation, PARITY.md). Event queries inherit EventSurface.
+    """
+
+    def __init__(self, owner: "GymIntersectionEnv"):
+        from .events import EventSurface
+        self._owner = owner
+        self._events = EventSurface()
+
+    # ----------------------------------------------- event surface delegation
+    def poll_events(self) -> None:
+        self._events.poll_events()
+
+    def key_pressed(self, glfw_key: int) -> bool:
+        return self._events.key_pressed(glfw_key)
+
+    def window_should_close(self) -> bool:
+        return self._events.window_should_close()
+
+    def __getattr__(self, name):
+        # anything else (inject_press, attach_canvas, request_close, ...)
+        # falls through to the event surface
+        return getattr(self._events, name)
+
+    # ----------------------------------------------- raw attribute surface
+    def _state(self):
+        o = self._owner
+        if o._native is not None:
+            return o._native_state_view()
+        return o._state
+
+    @property
+    def cars(self):
+        """Ego fleet as compat.Car objects (bindings.cpp:66)."""
+        from ..compat import Car
+        st = self._state()
+        paths = self._owner._core.table.paths
+        return [Car.from_env_state(st, i, paths)
+                for i in range(self._owner.num_agents)]
+
+    @property
+    def traffic_cars(self):
+        """Alive NPCs as compat.Car objects in spawn (uid) order — the
+        reference's ``traffic_cars`` vector order (bindings.cpp:67)."""
+        from ..compat import Car
+        st = self._state()
+        paths = self._owner._core.table.paths
+        alive = np.asarray(st.npc.alive)
+        idx = np.nonzero(alive)[0]
+        if hasattr(st.npc, "uid"):
+            uid = np.asarray(st.npc.uid)
+            idx = idx[np.argsort(uid[idx], kind="stable")]
+        return [Car.from_npc_state(st, int(i), paths) for i in idx]
+
+    @property
+    def lidars(self):
+        """Per-ego sensors with the env's 96-ray config and the latest
+        distances (bindings.cpp:68, IntersectionEnv.cpp:113-127)."""
+        from ..compat import Lidar
+        st = self._state()
+        dists = np.asarray(st.lidar)
+        out = []
+        for i in range(self._owner.num_agents):
+            s = Lidar.env_sensor()
+            s.distances = [float(d) for d in dists[i]]
+            out.append(s)
+        return out
+
+    @property
+    def step_count(self) -> int:
+        return int(np.asarray(self._state().step_count))
+
+
 class GymIntersectionEnv:
     def __init__(self, config: Optional[Dict[str, Any]] = None):
         if config is None:
@@ -100,13 +183,14 @@ class GymIntersectionEnv:
         self._state = None
         self._renderer = None
 
-        # GLFW-style event surface: the reference harness reaches through
-        # the wrapper for input polling (`env.env.poll_events()` /
-        # `.key_pressed(k)` / `.window_should_close()` — test.py:110-145,
-        # cpp/bindings.cpp:80-82). Backed by matplotlib key events when the
-        # renderer window attaches it, by injection when headless.
-        from .events import EventSurface
-        self.env = EventSurface()
+        # GLFW-style event surface + raw attribute surface: the reference
+        # harness reaches through the wrapper for input polling
+        # (`env.env.poll_events()` / `.key_pressed(k)` /
+        # `.window_should_close()` — test.py:110-145, cpp/bindings.cpp:80-82)
+        # and the raw binding exposes `cars` / `traffic_cars` / `lidars` /
+        # `step_count` as live attributes (cpp/bindings.cpp:66-70).
+        # RawEnvView provides both on the same object.
+        self.env = RawEnvView(self)
 
         self.reset()
 

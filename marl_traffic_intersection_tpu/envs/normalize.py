@@ -50,6 +50,21 @@ class RewardNormVecEnv:
         self.eps = float(eps)
         self.warmup = int(warmup)
 
+    # Mesh pass-through: learners rebind their venv to the training mesh via
+    # `env.mesh is not mesh -> env = env.with_mesh(mesh)` (parallel/ppo.py
+    # jit_train_step); the wrapper must forward both so reward-normalized
+    # training works under a mesh (the wrapper state is B-leading and shards
+    # along the data axis with the env batch).
+    @property
+    def mesh(self):
+        return self.venv.mesh
+
+    def with_mesh(self, mesh) -> "RewardNormVecEnv":
+        """A copy of this wrapper whose inner VectorEnv is bound to ``mesh``."""
+        return RewardNormVecEnv(self.venv.with_mesh(mesh), gamma=self.gamma,
+                                clip=self.clip, eps=self.eps,
+                                warmup=self.warmup)
+
     def reset(self, key) -> Tuple[NormState, jnp.ndarray]:
         env_state, obs = self.venv.reset(key)
         b = self.num_envs

@@ -1,3 +1,15 @@
+# Attribution / licensing: this file is a derived work of the GNU C Library
+# (glibc) 2.36 math routines. The atan2f/atanf kernels and their
+# polynomial/table constants below originate from glibc's
+# sysdeps/ieee754/flt-32 implementations (derived from Sun's fdlibm,
+# Copyright (C) 1993 by Sun Microsystems; glibc portions Copyright (C)
+# 1993-2022 Free Software Foundation, Inc.), licensed under the GNU Lesser
+# General Public License v2.1 or later (LGPL-2.1-or-later). Constants were
+# decoded from this host's /lib/x86_64-linux-gnu/libm.so.6 (Debian GLIBC
+# 2.36) .rodata and the control flow from its disassembly. To the extent
+# this file reproduces glibc's expression of those algorithms, it is
+# distributed under the same LGPL-2.1-or-later terms. Derived files: this
+# module (ops/exact_libm.py) and ops/exact_trig.py.
 """Bit replicas of the host libm functions in the reward/observation path.
 
 The C++ reference oracle's reward and obs builders call three libm-backed

@@ -1,3 +1,15 @@
+# Attribution / licensing: this file is a derived work of the GNU C Library
+# (glibc) 2.36 math routines. The algorithms and the polynomial/table
+# constants replicated below originate from glibc's sysdeps/ieee754/flt-32
+# sinf/cosf/tanf implementations (themselves derived from Sun's fdlibm and
+# the ARM optimized-routines sincosf), Copyright (C) 1993-2022 Free Software
+# Foundation, Inc., licensed under the GNU Lesser General Public License
+# v2.1 or later (LGPL-2.1-or-later). The constants were decoded from this
+# host's /lib/x86_64-linux-gnu/libm.so.6 (Debian GLIBC 2.36) .rodata and the
+# control flow from its disassembly. To the extent this file reproduces
+# glibc's expression of those algorithms, it is distributed under the same
+# LGPL-2.1-or-later terms. Derived files: this module (ops/exact_trig.py)
+# and ops/exact_libm.py.
 """Bit-exact replicas of this host's glibc sinf/cosf/tanf for the TPU.
 
 The C++ reference oracle calls libm's float trig; XLA's device

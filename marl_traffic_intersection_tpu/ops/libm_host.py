@@ -16,6 +16,7 @@ Falls back to per-element ctypes calls into libm.so.6 if g++ is missing.
 from __future__ import annotations
 
 import ctypes as ct
+import os
 import pathlib
 import subprocess
 
@@ -37,6 +38,9 @@ void cosf_vec(const float* in, float* out, long n) {
 void tanf_vec(const float* in, float* out, long n) {
     for (long i = 0; i < n; ++i) out[i] = tanf(in[i]);
 }
+void atan2f_vec(const float* y, const float* x, float* out, long n) {
+    for (long i = 0; i < n; ++i) out[i] = atan2f(y[i], x[i]);
+}
 """
 
 _LIB = None
@@ -51,17 +55,34 @@ def _load():
     stale = (not _LIB_PATH.exists() or not _SRC.exists()
              or _SRC.read_text() != _C_SOURCE)
     if stale:
-        _SRC.write_text(_C_SOURCE)
-        subprocess.run(
-            ["gcc", "-O2", "-fPIC", "-shared", str(_SRC), "-o",
-             str(_LIB_PATH), "-lm"],
-            check=True, capture_output=True, text=True)
+        # Build to per-pid temp paths and os.rename() into place: rename is
+        # atomic, so a concurrent process can never dlopen a half-written .so
+        # (parallel pytest / simultaneous eval runs share this cache dir).
+        pid = os.getpid()
+        tmp_src = _BUILD / f"libm_vec.{pid}.c"
+        tmp_lib = _BUILD / f"libm_vec.{pid}.so"
+        tmp_src.write_text(_C_SOURCE)
+        try:
+            subprocess.run(
+                ["gcc", "-O2", "-fPIC", "-shared", str(tmp_src), "-o",
+                 str(tmp_lib), "-lm"],
+                check=True, capture_output=True, text=True)
+            os.rename(tmp_lib, _LIB_PATH)
+            os.rename(tmp_src, _SRC)
+        finally:
+            for t in (tmp_src, tmp_lib):
+                try:
+                    t.unlink()
+                except FileNotFoundError:
+                    pass
     lib = ct.CDLL(str(_LIB_PATH))
     p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     for name in ("sinf_vec", "cosf_vec", "tanf_vec"):
         fn = getattr(lib, name)
         fn.argtypes = [p, p, ct.c_long]
         fn.restype = None
+    lib.atan2f_vec.argtypes = [p, p, p, ct.c_long]
+    lib.atan2f_vec.restype = None
     _LIB = lib
     return lib
 
@@ -74,6 +95,8 @@ def _scalar_fallback(name):
             f = getattr(_FALLBACK, nm)
             f.restype = ct.c_float
             f.argtypes = [ct.c_float]
+        _FALLBACK.atan2f.restype = ct.c_float
+        _FALLBACK.atan2f.argtypes = [ct.c_float, ct.c_float]
     f = getattr(_FALLBACK, name)
 
     def call(x):
@@ -103,3 +126,23 @@ def _vec(name):
 sinf_np = _vec("sinf_vec")
 cosf_np = _vec("cosf_vec")
 tanf_np = _vec("tanf_vec")
+
+
+def atan2f_np(y, x):
+    """Host-libm ``atan2f`` over numpy arrays (broadcasting y against x)."""
+    shape = np.broadcast_shapes(np.shape(y), np.shape(x))
+    yb = np.ascontiguousarray(np.broadcast_to(np.asarray(y, np.float32), shape))
+    xb = np.ascontiguousarray(np.broadcast_to(np.asarray(x, np.float32), shape))
+    out = np.empty(shape, np.float32)
+    try:
+        lib = _load()
+    except Exception:
+        _scalar_fallback("sinf")  # ensure _FALLBACK bound with atan2f types
+        f = _FALLBACK.atan2f
+        flat = np.fromiter(
+            (f(ct.c_float(float(a)), ct.c_float(float(b)))
+             for a, b in zip(yb.ravel(), xb.ravel())),
+            np.float32, count=yb.size)
+        return flat.reshape(shape)
+    lib.atan2f_vec(yb.ravel(), xb.ravel(), out.ravel(), yb.size)
+    return out.reshape(shape)

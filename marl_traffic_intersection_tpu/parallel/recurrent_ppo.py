@@ -177,6 +177,11 @@ class RecurrentPPOLearner(PPOLearner):
             return jax.jit(self.train_step, donate_argnums=(1, 3))
         from .mesh import (data_sharding, hybrid_data_sharding,
                            param_shardings, replicate)
+        # Bind the mesh into the venv (same rebind as PPO/SAC): traffic-mode
+        # NPC tier predicates become shard-local under shard_map instead of
+        # per-step cross-device all-reduces.
+        if self.env.mesh is not mesh:
+            self.env = self.env.with_mesh(mesh)
 
         dsh = hybrid_data_sharding(mesh) if "replica" in mesh.axis_names \
             else data_sharding(mesh)

@@ -49,6 +49,12 @@ CONFIGS = {
     # and corner-arc paths than 3 lanes — VERDICT r3 task 7): egos + traffic
     5: dict(routes=[("IN_6", "OUT_2"), ("IN_1", "OUT_3"), ("IN_4", "OUT_8")],
             traffic=True, density=1.0, team=False, lanes=2),
+    # Right-turn-stressing config (VERDICT r4 task 1): egos on the reference
+    # default-mapping rights IN_3->OUT_12 and IN_9->OUT_6 (utils.py:42,48) —
+    # routes whose corner-arc trig provably bit-differed from the oracle
+    # before the host-libm route-table build (core/routes.py _cos32/_sin32).
+    6: dict(routes=[("IN_3", "OUT_12"), ("IN_9", "OUT_6")], traffic=False,
+            team=False),
 }
 
 
@@ -153,7 +159,7 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--write", action="store_true")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
                     help="platform for the JAX side (handled at import)")

@@ -93,8 +93,9 @@ def main():
     a, b = mixed(n), mixed(n)
     k = min(len(a), len(b))
     a, b = a[:k], b[:k]
-    # hypotf_exact's documented domain: {0} ∪ [2^-100, 2^60] magnitudes
-    dom = lambda v: (v == 0) | ((np.abs(v) >= 2.0 ** -100)
+    # hypotf_exact's documented domain: {0} ∪ [2^-90, 2^60] magnitudes
+    # (same floor as the module docstring and tests/test_exact_libm.py)
+    dom = lambda v: (v == 0) | ((np.abs(v) >= 2.0 ** -90)
                                 & (np.abs(v) <= 2.0 ** 60))
     keep = dom(a) & dom(b)
     a, b = a[keep], b[keep]

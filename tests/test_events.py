@@ -53,3 +53,47 @@ def test_reference_harness_idiom_on_gym_env():
     env.env.inject_press(KEY_ESCAPE)
     env.env.poll_events()
     assert env.env.key_pressed(KEY_ESCAPE)
+
+
+def test_raw_attribute_surface():
+    """The raw binding's live-attribute idiom (cpp/bindings.cpp:66-70):
+    `env.env.cars` / `.traffic_cars` / `.lidars` / `.step_count`."""
+    env = GymIntersectionEnv({"num_agents": 2, "ego_routes":
+                              [("IN_6", "OUT_2"), ("IN_1", "OUT_7")]})
+    assert env.env.step_count == 0
+    cars = env.env.cars
+    assert len(cars) == 2
+    # spawn pose matches the route table's IN point + first-segment heading
+    t = env._core.table
+    rid = t.route_id("IN_6", "OUT_2")
+    assert cars[0].state.x == float(t.spawn_xy[rid, 0])
+    assert cars[0].state.y == float(t.spawn_xy[rid, 1])
+    assert cars[0].state.heading == float(t.spawn_heading[rid])
+    assert cars[0].alive and cars[0].path_index == 0
+    assert len(cars[0].path) == 160
+    # no traffic in this config
+    assert env.env.traffic_cars == []
+    # 96-ray env sensor config with live distances (reset = all-max init,
+    # IntersectionEnv.cpp:117)
+    lidars = env.env.lidars
+    assert len(lidars) == 2 and lidars[0].rays == 96
+    assert lidars[0].max_dist == 250.0
+    assert all(d == 250.0 for d in lidars[0].distances)
+    env.step(np.full((2, 2), 0.5, np.float32))
+    assert env.env.step_count == 1
+    # post-step attributes re-materialize from the stepped state
+    assert env.env.cars[0].state.v > 0.0
+    assert any(d < 250.0 for d in env.env.lidars[0].distances)
+
+
+def test_raw_attribute_surface_traffic():
+    """traffic_cars materializes alive NPCs in spawn order."""
+    env = GymIntersectionEnv({"traffic_flow": True, "traffic_density": 50.0,
+                              "seed": 3})
+    for _ in range(60):
+        env.step(np.array([0.0, 0.0], np.float32))
+    tc = env.env.traffic_cars
+    assert len(tc) >= 1
+    for c in tc:
+        assert c.alive
+        assert len(c.path) == 160

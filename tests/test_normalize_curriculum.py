@@ -68,6 +68,32 @@ def test_reward_norm_trains_under_ppo():
     assert np.isfinite(float(m["v_loss"]))
 
 
+def test_reward_norm_trains_under_ppo_with_mesh():
+    """Regression: jit_train_step(mesh) rebinds via env.mesh/with_mesh, which
+    RewardNormVecEnv must forward to its inner VectorEnv (ADVICE r4)."""
+    import pytest as _pytest
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from marl_traffic_intersection_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    env = IntersectionEnv(EnvConfig(num_agents=2, max_steps=64))
+    venv = RewardNormVecEnv(VectorEnv(env, num_envs=8), warmup=8)
+    learner = PPOLearner(venv, make_model("mlp"),
+                         PPOConfig(rollout_len=8, num_minibatches=2,
+                                   update_epochs=1))
+    ts = learner.init(jax.random.PRNGKey(0))
+    step, shard_ts, shard_env = learner.jit_train_step(mesh)
+    assert learner.env.mesh is mesh          # wrapper forwarded the rebind
+    assert learner.env.venv.mesh is mesh
+    state, obs = learner.env.reset(jax.random.PRNGKey(1))
+    ts = shard_ts(ts)
+    # NormState wraps the env pytree; shard the whole thing B-leading
+    state, obs = shard_env(state, obs)
+    ts, state, obs, key, m = step(ts, state, obs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["pg_loss"]))
+
+
 def test_conv_model_forward_and_ring_equivariance():
     obs = jax.random.uniform(jax.random.PRNGKey(0), (5, 127))
     model = LidarConvPolicy()

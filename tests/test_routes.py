@@ -53,7 +53,6 @@ def test_all_paths_vs_oracle():
     for lanes in (2, 3):
         layout = R.build_lane_layout(lanes)
         n = 4 * lanes
-        max_err = 0.0
         for si in range(n):
             for ei in range(n):
                 start, end = f"IN_{si+1}", f"OUT_{ei+1}"
@@ -61,13 +60,11 @@ def test_all_paths_vs_oracle():
                 intent = R.determine_intent(layout, start, end)
                 assert intent == ref_intent, (start, end)
                 path = R.generate_path(layout, lanes, intent, start, end)
-                err = np.abs(path - ref_path).max()
-                max_err = max(max_err, float(err))
-                if intent == R.INTENT_RIGHT:
-                    assert err <= 1e-4, (start, end, err)  # trig ulp tolerance
-                else:
-                    assert err == 0.0, (start, end, err)   # bit-exact
-        assert max_err <= 1e-4
+                # Bit-exact for EVERY intent: straight/left are pure f32
+                # arithmetic in reference op order, and right-turn arcs call
+                # the host libm's cosf/sinf (what std::cos(float) resolves to).
+                same = path.view(np.uint32) == np.asarray(ref_path, np.float32).view(np.uint32)
+                assert same.all(), (start, end, np.abs(path - ref_path).max())
 
 
 @pytest.mark.oracle
@@ -89,13 +86,15 @@ def test_spawn_heading_vs_oracle():
     from .oracle import oracle as O
 
     t = R.build_route_table(3)
+    # Spawn heading is atan2f on the first path segment — bit-exact via the
+    # host-libm call in build_route_table (cpp/IntersectionEnv.cpp:88-92).
     for (start, end) in [("IN_6", "OUT_2"), ("IN_1", "OUT_7"), ("IN_1", "OUT_10"),
-                         ("IN_12", "OUT_5")]:
+                         ("IN_3", "OUT_12"), ("IN_9", "OUT_6"), ("IN_12", "OUT_5")]:
         rid = t.route_id(start, end)
         env = O.OracleEnv(num_lanes=3)
         env.reset([(start, end)])
         ego = env.egos()[0]
-        assert abs(float(t.spawn_heading[rid]) - float(ego[3])) <= 2e-7
+        assert np.float32(t.spawn_heading[rid]).view(np.uint32) == np.float32(ego[3]).view(np.uint32), (start, end)
         assert (float(t.spawn_xy[rid, 0]), float(t.spawn_xy[rid, 1])) == (float(ego[0]), float(ego[1]))
 
 
