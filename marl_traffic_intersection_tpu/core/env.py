@@ -54,7 +54,7 @@ from .constants import (
     WIDTH,
 )
 from .geometry import hits_yellow_line, is_line_pixel, is_on_road
-from .lidar import lidar_scan, lidar_scan_interval
+from .lidar import lidar_scan, lidar_scan_interval, lidar_scan_sweep
 from .npc import NpcState, init_npc_state, npc_traffic_update, spawn_decision
 from .physics import (car_corners, car_physics_step, gather_rows_matmul,
                       sat_overlap, update_path_index, wrap_angle)
@@ -536,6 +536,11 @@ class IntersectionEnv:
             scan = jax.vmap(lambda a, b, c: lidar_scan_interval(
                 a, b, c, ox, oy, oh, om, cfg.num_lanes,
                 exact_trig=cfg.exact_trig))(x, y, heading)
+        elif impl == "sweep":
+            # lane-packed (S, A*R) dense march — bit-identical to the vmapped
+            # dense path; minor-most axis fills the VPU lanes (lidar.py)
+            scan = lidar_scan_sweep(x, y, heading, ox, oy, oh, om,
+                                    cfg.num_lanes, exact_trig=cfg.exact_trig)
         else:
             scan = jax.vmap(lambda a, b, c: lidar_scan(
                 a, b, c, ox, oy, oh, om, cfg.num_lanes,

@@ -182,6 +182,99 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
                      f32(max_dist))
 
 
+def lidar_scan_sweep(self_x, self_y, self_heading, obs_x, obs_y, obs_heading,
+                     obs_mask, num_lanes: int = 3, exact_trig: bool = False):
+    """All-agent dense march in a lane-packed ``(S, A*R)`` layout.
+
+    Bit-identical to ``jax.vmap(lidar_scan)`` over agents — every per-element
+    f32 op and its operand order is unchanged — but the grid tensors are laid
+    out with the flattened (agents x rays) axis MINOR-MOST and the 63-sample
+    axis in sublanes. The production layout ``(..., R=96, S=63)`` puts S in
+    the VPU's 128-wide lanes (63/128 = 49% utilization, padding executed as
+    real issue slots in the fused loop); ``(S, A*R)`` packs A*R = 384 lanes
+    (3 full lane groups at the 4-agent headline config) with S padding only
+    1/64 of sublanes — the same trick that bought 20% on the NPC ghost scan
+    (path axis minor-most, PERF.md round 2).
+
+    self_*: (A,) ego poses. obs_*: (M,) obstacle set shared by all agents
+    (the same set every ``lidar_scan`` call in the env step receives).
+    Returns (A, R) distances. vmap over the env batch outside.
+    """
+    f32 = jnp.float32
+    rel = jnp.asarray(_REL_ANGLES)                 # (R,)
+    dists = jnp.asarray(_DISTS)                    # (S,)
+    A = self_x.shape[0]
+    R = rel.shape[0]
+    nsamp = dists.shape[0]
+
+    ray_angle = self_heading[:, None] + rel        # (A, R)
+    _cos, _sin = _trig_fns(exact_trig)
+    dx = _cos(ray_angle)
+    dy = -_sin(ray_angle)                          # (A, R)
+
+    dxf = jnp.reshape(dx, (A * R,))
+    dyf = jnp.reshape(dy, (A * R,))
+    px = jnp.reshape(jnp.broadcast_to(self_x[:, None], (A, R)), (A * R,))
+    py = jnp.reshape(jnp.broadcast_to(self_y[:, None], (A, R)), (A * R,))
+
+    d_col = dists[:, None]                         # (S, 1)
+    sx = px[None, :] + _mul_unfused(dxf[None, :], d_col)   # (S, A*R)
+    sy = py[None, :] + _mul_unfused(dyf[None, :], d_col)
+    xf = jnp.trunc(sx)
+    yf = jnp.trunc(sy)
+
+    oob = (xf < f32(0)) | (xf >= f32(WIDTH)) | (yf < f32(0)) | (yf >= f32(HEIGHT))
+    pos_dist = dists > f32(0.0)                    # (S,)
+    road_hit = pos_dist[:, None] & off_road_grid_fast(xf, yf, num_lanes)
+
+    eps = f32(1e-3)
+    not_self = ~(
+        (jnp.abs(obs_x[None, :] - self_x[:, None]) < eps)
+        & (jnp.abs(obs_y[None, :] - self_y[:, None]) < eps)
+        & (jnp.abs(obs_heading[None, :] - self_heading[:, None]) < eps)
+    )                                              # (A, M)
+    active = obs_mask[None, :] & not_self          # (A, M)
+
+    cosA = _cos(obs_heading)
+    sinA = _sin(obs_heading)
+    hl = f32(CAR_LENGTH * 0.5)
+    hw = f32(CAR_WIDTH * 0.5)
+    ex = _mul_unfused(jnp.abs(cosA), hl) + _mul_unfused(jnp.abs(sinA), hw)  # (M,)
+    ey = _mul_unfused(jnp.abs(sinA), hl) + _mul_unfused(jnp.abs(cosA), hw)
+    inf = f32(jnp.inf)
+    # per-(agent, obstacle) masked bounds (same values lidar_scan computes
+    # from its scalars), broadcast per ray into the packed lanes
+    lox = jnp.where(active, (obs_x - ex)[None, :], inf)   # (A, M)
+    hix = jnp.where(active, (obs_x + ex)[None, :], -inf)
+    hiy = jnp.where(active, (obs_y + ey)[None, :], -inf)
+    loy = jnp.where(active, (obs_y - ey)[None, :], inf)
+
+    per_ray = lambda col: jnp.reshape(
+        jnp.broadcast_to(col[:, None], (A, R)), (A * R,))   # (A,) -> (A*R,)
+
+    hit_any = road_hit
+    for m_i in range(obs_x.shape[0]):
+        lox_m = per_ray(lox[:, m_i])[None, :]
+        hix_m = per_ray(hix[:, m_i])[None, :]
+        loy_m = per_ray(loy[:, m_i])[None, :]
+        hiy_m = per_ray(hiy[:, m_i])[None, :]
+        hit_any |= (
+            (xf >= lox_m) & (xf <= hix_m)
+            & (yf >= loy_m) & (yf <= hiy_m)
+            & pos_dist[:, None]
+        )
+
+    samp2 = jnp.arange(0, 2 * nsamp, 2, dtype=jnp.int32)   # (S,)
+    big = jnp.int32(2 * nsamp)
+    code = jnp.where(oob, samp2[:, None] + 1,
+                     jnp.where(hit_any, samp2[:, None], big))
+    first = jnp.min(code, axis=-2)                          # (A*R,)
+    hit = (first < big) & ((first & 1) == 0)
+    out = jnp.where(hit, (first >> 1).astype(f32) * f32(LIDAR_STEP),
+                    f32(LIDAR_MAX_DIST))
+    return jnp.reshape(out, (A, R))
+
+
 def _first_true(pred, shape, domain_pow2: int):
     """Branchless binary search: smallest k in [0, domain_pow2) where the
     monotone-nondecreasing boolean ``pred(k)`` is True; domain_pow2 if none.

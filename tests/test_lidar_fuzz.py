@@ -23,7 +23,7 @@ import pytest
 from marl_traffic_intersection_tpu.core.constants import (
     HEIGHT, LIDAR_MAX_DIST, WIDTH)
 from marl_traffic_intersection_tpu.core.lidar import (
-    lidar_scan, lidar_scan_interval)
+    lidar_scan, lidar_scan_interval, lidar_scan_sweep)
 
 M = 4 + 32  # traffic-mode obstacle slots (EnvConfig.max_npcs default)
 
@@ -95,6 +95,62 @@ def test_lidar_interval_matches_dense_axis_aligned():
 def test_lidar_interval_matches_dense_integer_lattice():
     rng = np.random.RandomState(2)
     _check(_random_batch(rng, 512, axis_aligned=True, integer_lattice=True))
+
+
+def _sweep_pair(args):
+    """env-shaped call: (A,) agents vs one shared obstacle set."""
+    sx, sy, sh, ox, oy, oh, om = args
+    d = jax.vmap(lambda a, b, c: lidar_scan(a, b, c, ox, oy, oh, om, 3))(
+        sx, sy, sh)
+    s = lidar_scan_sweep(sx, sy, sh, ox, oy, oh, om, 3)
+    return d, s
+
+
+_batched_sweep = jax.jit(jax.vmap(_sweep_pair))
+
+
+def _random_env_batch(rng, n, agents=4):
+    """Per-example (A,) ego poses + ONE shared (M,) obstacle set, mirroring
+    the env's lidar call (core/env.py step stage 8)."""
+    m = float(LIDAR_MAX_DIST)
+    sx = rng.uniform(-m, WIDTH + m, (n, agents)).astype(np.float32)
+    sy = rng.uniform(-m, HEIGHT + m, (n, agents)).astype(np.float32)
+    sh = rng.uniform(-np.pi, np.pi, (n, agents)).astype(np.float32)
+    ox = rng.uniform(-50, WIDTH + 50, (n, M)).astype(np.float32)
+    oy = rng.uniform(-50, HEIGHT + 50, (n, M)).astype(np.float32)
+    oh = rng.uniform(-np.pi, np.pi, (n, M)).astype(np.float32)
+    om = rng.uniform(size=(n, M)) < rng.uniform(0.1, 1.0, (n, 1))
+    # egos ARE in the obstacle set in the env — replicate, exercising the
+    # self-exclusion eps compare per agent
+    ox[:, :agents] = sx
+    oy[:, :agents] = sy
+    oh[:, :agents] = sh
+    om[:, :agents] = True
+    return (jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(sh),
+            jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(oh),
+            jnp.asarray(om))
+
+
+def test_lidar_sweep_matches_dense():
+    """The lane-packed (S, A*R) sweep layout is bitwise-identical to the
+    vmapped dense march (same per-element f32 ops, different tensor
+    orientation)."""
+    rng = np.random.RandomState(7)
+    for agents in (1, 4, 8):
+        batch = _random_env_batch(rng, 256, agents=agents)
+        dense, sweep = jax.jit(jax.vmap(_sweep_pair))(batch)
+        neq = np.asarray(dense) != np.asarray(sweep)
+        assert not neq.any(), (agents, neq.sum(), np.argwhere(neq)[0])
+
+
+@pytest.mark.slow
+def test_lidar_sweep_matches_dense_bulk():
+    rng = np.random.RandomState(42)
+    for seed in range(6):
+        batch = _random_env_batch(rng, 1024, agents=4)
+        dense, sweep = _batched_sweep(batch)
+        neq = np.asarray(dense) != np.asarray(sweep)
+        assert not neq.any(), (seed, neq.sum())
 
 
 @pytest.mark.slow
