@@ -47,10 +47,11 @@ def bench_tpu(num_envs: int, num_agents: int, iters: int, inner: int,
     from marl_traffic_intersection_tpu import EnvConfig, IntersectionEnv
     from marl_traffic_intersection_tpu.envs.vector import VectorEnv
 
+    lidar_impl = os.environ.get("BENCH_LIDAR_IMPL", "auto")
     env = IntersectionEnv(EnvConfig(
         num_agents=num_agents, max_steps=10 ** 9, traffic_flow=traffic,
         traffic_density=density, npc_mode=npc_mode, exact_trig=exact_trig,
-        npc_cleanup=npc_cleanup))
+        npc_cleanup=npc_cleanup, lidar_impl=lidar_impl))
     venv = VectorEnv(env, num_envs=num_envs, auto_reset=True)
     state, obs = jax.jit(venv.reset)(jax.random.PRNGKey(0))
 

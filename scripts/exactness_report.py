@@ -59,7 +59,7 @@ CONFIGS = {
 
 
 def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False,
-               exact_obs: bool = False):
+               exact_obs: bool = False, dump_mismatch: str = ""):
     c = CONFIGS[cid]
     n = len(c["routes"])
     lanes = c.get("lanes", 3)
@@ -87,6 +87,7 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False,
     obs_bit_exact = 0      # steps with all N x 127 obs floats bit-identical
 
     for t in range(steps):
+        prev_state = state
         acts = np.stack([rng.choice([0.0, 0.5, 1.0, -0.5], n),
                          np.clip(rng.normal(0, 0.4, n), -1, 1)], 1).astype(np.float32)
         if c["traffic"]:
@@ -132,9 +133,39 @@ def run_config(cid: int, steps: int, seed: int = 0, exact_trig: bool = False,
         reward_bit_exact += int(np.array_equal(
             np.asarray(out.reward, np.float32).view(np.uint32),
             np.asarray(ref["reward"], np.float32).view(np.uint32)))
-        obs_bit_exact += int(np.array_equal(
+        obs_bits_ok = np.array_equal(
             mo.astype(np.float32).view(np.uint32),
-            np.asarray(ref["obs"], np.float32).view(np.uint32)))
+            np.asarray(ref["obs"], np.float32).view(np.uint32))
+        obs_bit_exact += int(obs_bits_ok)
+        if dump_mismatch and not obs_bits_ok:
+            # capture everything needed to replay the offending step under
+            # instrumentation (VERDICT r4 task 2b: the configs-4/5 device
+            # single-ulp obs flip): pre-step state, actions, spawn decision,
+            # and the mismatching indices/bit patterns.
+            diff = (mo.astype(np.float32).view(np.uint32)
+                    != np.asarray(ref["obs"], np.float32).view(np.uint32))
+            idxs = np.argwhere(diff)
+            flat = {}
+            for name, leaf in zip(
+                    ["ego." + f for f in prev_state.ego._fields],
+                    list(prev_state.ego)):
+                flat[name] = np.asarray(leaf)
+            for name, leaf in zip(
+                    ["npc." + f for f in prev_state.npc._fields],
+                    list(prev_state.npc)):
+                flat[name] = np.asarray(leaf)
+            flat["lidar"] = np.asarray(prev_state.lidar)
+            flat["step_count"] = np.asarray(prev_state.step_count)
+            flat["key"] = np.asarray(prev_state.key)
+            np.savez(dump_mismatch, t=t, acts=acts,
+                     do_try=np.asarray(do_try if c["traffic"] else False),
+                     rc=np.asarray(rc if c["traffic"] else 0),
+                     mismatch_idx=idxs,
+                     mine=mo.astype(np.float32),
+                     ref=np.asarray(ref["obs"], np.float32), **flat)
+            print(f"# dumped first obs mismatch at t={t} -> {dump_mismatch}; "
+                  f"indices {idxs.tolist()}", flush=True)
+            dump_mismatch = ""  # first only
         worst["pos"] = max(worst["pos"], float(np.abs(
             np.asarray(state.ego.x) - egos[:, 0]).max()))
         ld = np.abs(mo[:, 31:] - ref["obs"][:, 31:])
@@ -172,12 +203,17 @@ def main():
                          "hypotf/atan2f/sqrtf + pinned divisions in the "
                          "reward/obs builders — the full step-output "
                          "bitstream should then be bit-exact)")
+    ap.add_argument("--dump-mismatch", default="",
+                    help="path: save an .npz replay capture (pre-step state, "
+                         "actions, spawn decision, mismatch indices) at the "
+                         "FIRST step whose obs bitstream differs")
     args = ap.parse_args()
 
     results = []
     for cid in args.configs:
         r = run_config(cid, args.steps, exact_trig=args.exact_trig,
-                       exact_obs=args.exact_obs)
+                       exact_obs=args.exact_obs,
+                       dump_mismatch=args.dump_mismatch)
         print(json.dumps(r), flush=True)
         results.append(r)
 
