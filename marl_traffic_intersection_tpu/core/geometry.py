@@ -77,7 +77,10 @@ def off_road_grid_fast(x, y, num_lanes: int = 3):
     in_grass = gx * gx + gy * gy <= r2
     # (ax<=rw) | (ay<=rw) | corner-band: the band's lower bounds (ax>=rw) are
     # redundant under the union — if ax<rw the vertical strip already covers.
-    on_rect = (ax <= rw) | (ay <= rw) | ((ax <= d) & (ay <= d))
+    # min/max-folded: (ax<=rw)|(ay<=rw) == min(ax,ay)<=rw and
+    # (ax<=d)&(ay<=d) == max(ax,ay)<=d — two ops fewer per sample, decisions
+    # identical (coords are finite; min/max on f32 are exact).
+    on_rect = (jnp.minimum(ax, ay) <= rw) | (jnp.maximum(ax, ay) <= d)
     return in_grass | ~on_rect
 
 

@@ -106,12 +106,16 @@ def time_kernel(fn, batch, agents, inner, iters):
         return x, y, h, s.sum()
 
     out = block(x, y, h)
-    jax.block_until_ready(out)
+    _ = float(out[3])   # true sync: on the axon tunnel jax.block_until_ready
+    # RETURNS WITHOUT WAITING (measured: 0.1 ms "blocked" vs 60 ms real for
+    # the same program; bench.py survives because its 5 chained dispatches
+    # serialize on queue backpressure, verified equal to fetch-sync within
+    # noise). Single-dispatch timing MUST sync via a scalar fetch.
     vals = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = block(*out[:3])
-        jax.block_until_ready(out)
+        _ = float(out[3])
         vals.append((time.perf_counter() - t0) / inner)
     return float(np.median(vals))  # secs per vmapped call
 
@@ -123,39 +127,55 @@ def main():
     ap.add_argument("--inner", type=int, default=20)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
+    # IMPORTANT: one kernel per process. Timing three freshly-compiled big
+    # programs in one process through the axon tunnel returned dispatch-time
+    # artifacts (~us for a ms kernel); CLAUDE.md's one-heavy-program rule
+    # applies to measurement too. Default runs all three as subprocesses.
+    ap.add_argument("--kernel", default="",
+                    choices=["", "full", "stripped", "stripped32"])
     args = ap.parse_args()
 
     B, A = args.batch, args.agents
 
+    if not args.kernel:
+        import subprocess
+        res = {}
+        for k in ("full", "stripped", "stripped32"):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kernel", k,
+                 "--batch", str(B), "--agents", str(A),
+                 "--inner", str(args.inner), "--iters", str(args.iters),
+                 "--device", args.device],
+                capture_output=True, text=True, timeout=2400)
+            line = out.stdout.strip().splitlines()[-1]
+            res[k] = json.loads(line)["ms"]
+        rays = B * A * LIDAR_RAYS
+        print(json.dumps({
+            "batch": B, "agents": A,
+            "full_ms": round(res["full"], 3),
+            "stripped_ms": round(res["stripped"], 3),
+            "stripped_half_ms": round(res["stripped32"], 3),
+            "full_vs_bound_pct": round(100.0 * res["stripped"] / res["full"], 1),
+            "half_grid_speedup": round(res["full"] / res["stripped32"], 2),
+            "grays_per_s_full": round(rays / (res["full"] / 1e3) / 1e9, 2),
+        }))
+        return
+
     # full production kernel: 4-obstacle set (the no-traffic headline's
     # obstacle count — the other egos)
     def full(x, y, h):
-        # self vs the other A-1 egos: approximate the headline's obstacle
-        # work with 4 fixed slots (mask all-on)
         ox = jnp.array([200.0, 400.0, 500.0, 300.0], jnp.float32)
         oy = jnp.array([300.0, 350.0, 200.0, 500.0], jnp.float32)
         oh = jnp.array([0.1, 1.3, -2.0, 0.7], jnp.float32)
         om = jnp.ones((4,), bool)
         return lidar_scan(x, y, h, ox, oy, oh, om)
 
-    t_full = time_kernel(full, B, A, args.inner, args.iters)
-    t_stripped = time_kernel(
-        lambda x, y, h: stripped_scan(x, y, h, LIDAR_SAMPLES),
-        B, A, args.inner, args.iters)
-    t_half = time_kernel(
-        lambda x, y, h: stripped_scan(x, y, h, 32),
-        B, A, args.inner, args.iters)
-
-    rays = B * A * LIDAR_RAYS
-    print(json.dumps({
-        "batch": B, "agents": A,
-        "full_ms": round(t_full * 1e3, 3),
-        "stripped_ms": round(t_stripped * 1e3, 3),
-        "stripped_half_ms": round(t_half * 1e3, 3),
-        "full_vs_bound_pct": round(100.0 * t_stripped / t_full, 1),
-        "half_grid_speedup": round(t_full / t_half, 2),
-        "grays_per_s_full": round(rays / t_full / 1e9, 2),
-    }))
+    fn = {"full": full,
+          "stripped": lambda x, y, h: stripped_scan(x, y, h, LIDAR_SAMPLES),
+          "stripped32": lambda x, y, h: stripped_scan(x, y, h, 32),
+          }[args.kernel]
+    t = time_kernel(fn, B, A, args.inner, args.iters)
+    print(json.dumps({"kernel": args.kernel, "ms": round(t * 1e3, 4)}))
 
 
 if __name__ == "__main__":
