@@ -542,9 +542,29 @@ class IntersectionEnv:
             scan = lidar_scan_sweep(x, y, heading, ox, oy, oh, om,
                                     cfg.num_lanes, exact_trig=cfg.exact_trig)
         else:
-            scan = jax.vmap(lambda a, b, c: lidar_scan(
-                a, b, c, ox, oy, oh, om, cfg.num_lanes,
-                exact_trig=cfg.exact_trig))(x, y, heading)
+            # Static self-slot drop (dense path only — the no-traffic
+            # headline): obstacle slot i IS ego i, and the eps self-test
+            # (lidar.py not_self) excludes it with certainty at runtime
+            # (|x-x| = 0 < eps), so removing the slot from agent i's set
+            # cannot change any hit decision — it deletes one dead
+            # per-obstacle AABB block (1 of 4 at the 4-agent headline)
+            # from the (rays x samples) grid. The eps test still runs for
+            # the remaining slots (duplicate-pose exclusion,
+            # cpp/Lidar.cpp:55-63). The gather index matrix is a trace-time
+            # constant, so no dynamic gather reaches the hot path.
+            M = int(ox.shape[0])
+            if M >= 2:
+                idx = np.asarray([[j for j in range(M) if j != i]
+                                  for i in range(n)], dtype=np.int32)
+                ox_r, oy_r, oh_r, om_r = ox[idx], oy[idx], oh[idx], om[idx]
+                scan = jax.vmap(lambda a, b, c, px, py, ph, pm: lidar_scan(
+                    a, b, c, px, py, ph, pm, cfg.num_lanes,
+                    exact_trig=cfg.exact_trig))(x, y, heading,
+                                                ox_r, oy_r, oh_r, om_r)
+            else:
+                scan = jax.vmap(lambda a, b, c: lidar_scan(
+                    a, b, c, ox, oy, oh, om, cfg.num_lanes,
+                    exact_trig=cfg.exact_trig))(x, y, heading)
         lidar = jnp.where(alive[:, None], scan, state.lidar)
 
         new_state = EnvState(ego=new_ego, npc=npc, lidar=lidar,

@@ -184,9 +184,15 @@ def _next_toward(q, up):
 @jax.jit
 def _div32(a, b):
     """Correctly-rounded f32 division. XLA's CPU div is already IEEE; the
-    TPU lowers division to a reciprocal refinement that can be a ulp off,
-    so pick among {q, q±ulp} the candidate minimizing the EXACT residual
-    |a - q*b| (two_prod/two_sum comparison; ties to even)."""
+    TPU lowers division to a reciprocal refinement whose seed can be MORE
+    than one ulp off (measured: 2 ulps on 44.37213/24.35846 = 0x3fe92b35
+    vs correct 0x3fe92b37 — the root cause of the one-step-in-2000 device
+    obs[5] flip, round 5). Run THREE pick-the-better-neighbor passes, each
+    choosing among {q, q±ulp} the candidate minimizing the EXACT residual
+    |a - q*b| (two_prod/two_sum comparison); |a - q*b| is unimodal in q,
+    so each pass corrects one ulp and any seed within 3 ulps converges.
+    Exact ties cannot arise (a - q*b == a - q'*b implies q == q'). On CPU
+    the seed is already correct and every pass is a measured no-op."""
     q0 = a / b
 
     def resid(q):
@@ -211,13 +217,16 @@ def _div32(a, b):
         lead = jnp.where(d[0] != 0, d[0], jnp.where(d[1] != 0, d[1], d[2]))
         return lead < 0
 
-    qu = _next_toward(q0, jnp.ones(jnp.shape(q0), bool))
-    qd = _next_toward(q0, jnp.zeros(jnp.shape(q0), bool))
-    r0, ru, rd = resid(q0), resid(qu), resid(qd)
-    q = jnp.where(absless(ru, r0), qu, q0)
-    r = jax.tree.map(lambda x, y: jnp.where(absless(ru, r0), x, y), ru, r0)
-    q = jnp.where(absless(rd, r), qd, q)
-    # exact ties cannot arise: a - q*b == a - q'*b implies q == q'
+    def _pass(q):
+        qu = _next_toward(q, jnp.ones(jnp.shape(q), bool))
+        qd = _next_toward(q, jnp.zeros(jnp.shape(q), bool))
+        rq, ru, rd = resid(q), resid(qu), resid(qd)
+        up = absless(ru, rq)
+        q1 = jnp.where(up, qu, q)
+        r1 = jax.tree.map(lambda x_, y_: jnp.where(up, x_, y_), ru, rq)
+        return jnp.where(absless(rd, r1), qd, q1)
+
+    q = _pass(_pass(_pass(q0)))
     return jnp.where(jnp.isfinite(q0), q, q0)
 
 
