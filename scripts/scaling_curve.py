@@ -22,10 +22,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 3))
     inner = int(os.environ.get("BENCH_INNER", 10))
     agent_sizes = os.environ.get("BENCH_AGENT_SIZES")
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    def med(vals):  # bench_tpu returns one throughput per repeat block
+        s = sorted(vals)
+        return s[len(s) // 2]
+
     if agent_sizes:  # sweep the agents axis at fixed num_envs
         num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
         for a in (int(s) for s in agent_sizes.split(",")):
-            v = bench_tpu(num_envs, a, iters, inner)
+            v = med(bench_tpu(num_envs, a, iters, inner, repeats=repeats))
             print(json.dumps({"num_envs": num_envs, "agents": a,
                               "env_steps_per_s": round(v, 1),
                               "agent_steps_per_s": round(v * a, 1)}),
@@ -35,7 +41,7 @@ def main():
         "BENCH_SIZES", "1024,2048,4096,8192,16384").split(",")]
     agents = int(os.environ.get("BENCH_AGENTS", 4))
     for b in sizes:
-        v = bench_tpu(b, agents, iters, inner)
+        v = med(bench_tpu(b, agents, iters, inner, repeats=repeats))
         print(json.dumps({"num_envs": b, "agents": agents,
                           "env_steps_per_s": round(v, 1),
                           "batched_step_us": round(1e6 * b / v, 1)}),
