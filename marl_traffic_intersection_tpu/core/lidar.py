@@ -122,7 +122,12 @@ def lidar_scan(self_x, self_y, self_heading, obs_x, obs_y, obs_heading, obs_mask
     xf = jnp.trunc(sx)
     yf = jnp.trunc(sy)
 
-    oob = (xf < f32(0)) | (xf >= f32(WIDTH)) | (yf < f32(0)) | (yf >= f32(HEIGHT))
+    # Screen-bounds test min/max-folded (bit-equal boolean identity for the
+    # finite sample coords; requires the square screen WIDTH == HEIGHT):
+    # (x<0)|(y<0) == min(x,y)<0 and (x>=W)|(y>=W) == max(x,y)>=W — two grid
+    # ops cheaper per sample than the 4-compare/3-or form (Lidar.cpp:38-40).
+    assert WIDTH == HEIGHT
+    oob = (jnp.minimum(xf, yf) < f32(0)) | (jnp.maximum(xf, yf) >= f32(WIDTH))
 
     pos_dist = dists > f32(0.0)                          # (S,)
 
@@ -226,7 +231,9 @@ def lidar_scan_sweep(self_x, self_y, self_heading, obs_x, obs_y, obs_heading,
     xf = jnp.trunc(sx)
     yf = jnp.trunc(sy)
 
-    oob = (xf < f32(0)) | (xf >= f32(WIDTH)) | (yf < f32(0)) | (yf >= f32(HEIGHT))
+    # same min/max-folded square-screen bounds test as lidar_scan
+    assert WIDTH == HEIGHT
+    oob = (jnp.minimum(xf, yf) < f32(0)) | (jnp.maximum(xf, yf) >= f32(WIDTH))
     pos_dist = dists > f32(0.0)                    # (S,)
     road_hit = pos_dist[:, None] & off_road_grid_fast(xf, yf, num_lanes)
 
